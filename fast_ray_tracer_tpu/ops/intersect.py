@@ -1,0 +1,315 @@
+"""Batched ray-primitive intersection.
+
+The reference dispatches per-shape `local_intersect` function pointers while
+walking a BVH tree per ray (src/shapes/*, src/renderer/world.c:163-197).
+Here each primitive *type block* is intersected as one dense batched
+computation over (rays x prims), and hit reduction happens with masked
+min / top_k — no tree, no recursion, no dynamic allocation. Type-specific
+epsilon behavior matches the C code (EPSILON=1e-5 `equal` tests for
+degenerate quadratics, cap tests, Möller-Trumbore determinant cutoff).
+
+Candidate layout: every analytic primitive contributes its type's maximum
+intersection count (sphere/cube 2, plane 1, cylinder/cone/toroid 4 —
+src/shapes/* xs scratch sizes) of t-slots, triangles one slot; misses are
++inf. Slot-to-primitive mapping is static per scene.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fast_ray_tracer_tpu.constants import EPSILON
+from fast_ray_tracer_tpu.ops.quartic import solve_quartic
+from fast_ray_tracer_tpu.scene import ir as IR
+from fast_ray_tracer_tpu.scene.ir import SceneIR
+
+
+class Candidates(NamedTuple):
+    t: jnp.ndarray          # (R, H) candidate hit distances, +inf = miss
+    slot_prim: np.ndarray   # (H,) static: global primitive index per slot
+
+
+def slot_tables(meta) -> np.ndarray:
+    """Static slot -> global-prim-index map (analytic blocks then triangles)."""
+    ids = []
+    for typ, start, count in meta.type_ranges:
+        k = IR.TYPE_MAX_HITS[typ]
+        for p in range(start, start + count):
+            ids.extend([p] * k)
+    ids.extend(range(meta.n_analytic, meta.n_analytic + meta.n_triangles))
+    return np.asarray(ids, dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# per-type local intersectors: object-space rays (R, N, 3) -> t (R, N, k)
+# ---------------------------------------------------------------------------
+
+def _sphere_t(o, d):
+    """src/shapes/sphere.c:13-39 (unit sphere at origin)."""
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(d * o, axis=-1)
+    c = jnp.sum(o * o, axis=-1) - 1.0
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 1.0 / (2.0 * a)
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    inf = jnp.inf
+    return jnp.stack([jnp.where(ok, t0, inf), jnp.where(ok, t1, inf)], -1)
+
+
+def _plane_t(o, d):
+    """src/shapes/plane.c:10-24 (xz plane)."""
+    ok = jnp.abs(d[..., 1]) >= EPSILON
+    t = -o[..., 1] / jnp.where(ok, d[..., 1], 1.0)
+    return jnp.where(ok, t, jnp.inf)[..., None]
+
+
+def _cube_t(o, d):
+    """src/shapes/cube.c slab test, preserving the inf-handling semantics."""
+    def axis(oc, dc):
+        tmin_n = -1.0 - oc
+        tmax_n = 1.0 - oc
+        use_div = jnp.abs(dc) >= EPSILON
+        safe = jnp.where(use_div, dc, 1.0)
+        tmin = jnp.where(use_div, tmin_n / safe,
+                         jnp.where(tmin_n < 0, -jnp.inf, jnp.inf))
+        tmax = jnp.where(use_div, tmax_n / safe,
+                         jnp.where(tmax_n < 0, -jnp.inf, jnp.inf))
+        return jnp.minimum(tmin, tmax), jnp.maximum(tmin, tmax)
+
+    xmin, xmax = axis(o[..., 0], d[..., 0])
+    ymin, ymax = axis(o[..., 1], d[..., 1])
+    zmin, zmax = axis(o[..., 2], d[..., 2])
+    tmin = jnp.maximum(jnp.maximum(xmin, ymin), zmin)
+    tmax = jnp.minimum(jnp.minimum(xmax, ymax), zmax)
+    ok = tmin <= tmax
+    inf = jnp.inf
+    return jnp.stack([jnp.where(ok, tmin, inf), jnp.where(ok, tmax, inf)], -1)
+
+
+def _cylinder_t(o, d, params):
+    """src/shapes/cylinder.c:42-87 — body quadratic + caps."""
+    mn, mx = params[..., 0], params[..., 1]
+    closed = params[..., 2] > 0.5
+    a = d[..., 0] ** 2 + d[..., 2] ** 2
+    b = 2.0 * (o[..., 0] * d[..., 0] + o[..., 2] * d[..., 2])
+    c = o[..., 0] ** 2 + o[..., 2] ** 2 - 1.0
+    a_ok = jnp.abs(a) >= EPSILON       # equal(a, 0) test
+    disc = b * b - 4.0 * a * c
+    ok = a_ok & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_a = jnp.where(a_ok, a, 1.0)
+    t0 = (-b - sq) / (2.0 * safe_a)
+    t1 = (-b + sq) / (2.0 * safe_a)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    y0 = o[..., 1] + lo * d[..., 1]
+    y1 = o[..., 1] + hi * d[..., 1]
+    inf = jnp.inf
+    body0 = jnp.where(ok & (mn <= y0) & (y0 <= mx), lo, inf)
+    body1 = jnp.where(ok & (mn <= y1) & (y1 <= mx), hi, inf)
+
+    dy_ok = jnp.abs(d[..., 1]) >= EPSILON
+    safe_dy = jnp.where(dy_ok, d[..., 1], 1.0)
+    tc0 = (mn - o[..., 1]) / safe_dy
+    tc1 = (mx - o[..., 1]) / safe_dy
+
+    def in_cap(t):
+        x = o[..., 0] + t * d[..., 0]
+        z = o[..., 2] + t * d[..., 2]
+        return x * x + z * z <= 1.0
+
+    cap_ok = closed & dy_ok
+    cap0 = jnp.where(cap_ok & in_cap(tc0), tc0, inf)
+    cap1 = jnp.where(cap_ok & in_cap(tc1), tc1, inf)
+    return jnp.stack([body0, body1, cap0, cap1], -1)
+
+
+def _cone_t(o, d, params):
+    """src/shapes/cone.c:42-97 — double cone + caps (|y| cap radius)."""
+    mn, mx = params[..., 0], params[..., 1]
+    closed = params[..., 2] > 0.5
+    a = d[..., 0] ** 2 + d[..., 2] ** 2 - d[..., 1] ** 2
+    b = 2.0 * (o[..., 0] * d[..., 0] + o[..., 2] * d[..., 2]
+               - o[..., 1] * d[..., 1])
+    c = o[..., 0] ** 2 + o[..., 2] ** 2 - o[..., 1] ** 2
+    inf = jnp.inf
+
+    a_zero = jnp.abs(a) < EPSILON
+    b_zero = jnp.abs(b) < EPSILON
+    t_lin = -c / jnp.where(b_zero, 1.0, 2.0 * b)
+    lin0 = jnp.where(a_zero & ~b_zero, t_lin, inf)
+
+    disc = b * b - 4.0 * a * c
+    ok = ~a_zero & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_a = jnp.where(a_zero, 1.0, a)
+    t0 = (-b - sq) / (2.0 * safe_a)
+    t1 = (-b + sq) / (2.0 * safe_a)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    y0 = o[..., 1] + lo * d[..., 1]
+    y1 = o[..., 1] + hi * d[..., 1]
+    # note strict inequalities for the cone body (cone.c:82-89)
+    body0 = jnp.where(ok & (mn < y0) & (y0 < mx), lo, inf)
+    body1 = jnp.where(ok & (mn < y1) & (y1 < mx), hi, inf)
+    slot0 = jnp.where(a_zero, lin0, body0)
+    slot1 = jnp.where(a_zero, inf, body1)
+
+    dy_ok = jnp.abs(d[..., 1]) >= EPSILON
+    safe_dy = jnp.where(dy_ok, d[..., 1], 1.0)
+    tc0 = (mn - o[..., 1]) / safe_dy
+    tc1 = (mx - o[..., 1]) / safe_dy
+
+    def in_cap(t, y):
+        x = o[..., 0] + t * d[..., 0]
+        z = o[..., 2] + t * d[..., 2]
+        return x * x + z * z <= jnp.abs(y)
+
+    cap_ok = closed & dy_ok
+    cap0 = jnp.where(cap_ok & in_cap(tc0, mn), tc0, inf)
+    cap1 = jnp.where(cap_ok & in_cap(tc1, mx), tc1, inf)
+    return jnp.stack([slot0, slot1, cap0, cap1], -1)
+
+
+def _toroid_t(o, d, params):
+    """src/shapes/toroid.c:14-52 — quartic solve (upcast to f64)."""
+    dtype = o.dtype
+    o64 = o.astype(jnp.float64)
+    d64 = d.astype(jnp.float64)
+    r1 = params[..., 0].astype(jnp.float64)
+    r2 = params[..., 1].astype(jnp.float64)
+    sum_d_sq = jnp.sum(d64 * d64, axis=-1)
+    e = jnp.sum(o64 * o64, axis=-1) - r1 * r1 - r2 * r2
+    f = jnp.sum(o64 * d64, axis=-1)
+    four_a_sq = 4.0 * r1 * r1
+    oy, dy = o64[..., 1], d64[..., 1]
+    c0 = e * e - four_a_sq * (r2 * r2 - oy * oy)
+    c1 = 4.0 * f * e + 2.0 * four_a_sq * oy * dy
+    c2 = 2.0 * sum_d_sq * e + 4.0 * f * f + four_a_sq * dy * dy
+    c3 = 4.0 * sum_d_sq * f
+    c4 = sum_d_sq * sum_d_sq
+    roots = solve_quartic(c0, c1, c2, c3, c4)
+    return roots.astype(dtype)
+
+
+def _triangle_t(orig, dirs, p1, e1, e2):
+    """Möller-Trumbore (src/shapes/triangle.c:10-44), world space.
+
+    orig/dirs: (R, 3); p1/e1/e2: (N, 3) -> t: (R, N).
+    """
+    d = dirs[:, None, :]                        # (R,1,3)
+    o = orig[:, None, :]
+    dce2 = jnp.cross(d, e2[None, :, :])          # (R,N,3)
+    det = jnp.sum(e1[None] * dce2, axis=-1)      # (R,N)
+    ok = jnp.abs(det) >= EPSILON
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    p1o = o - p1[None]                           # (R,N,3)
+    u = f * jnp.sum(p1o * dce2, axis=-1)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    oce1 = jnp.cross(p1o, e1[None])
+    v = f * jnp.sum(d * oce1, axis=-1)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = f * jnp.sum(e2[None] * oce1, axis=-1)
+    return jnp.where(ok, t, jnp.inf), u, v
+
+
+def triangle_uv_at(ir: SceneIR, tri_idx, orig, dirs):
+    """Recompute barycentric (u, v) of the winning triangle hit per ray."""
+    p1 = ir.tri_p1[tri_idx]
+    e1 = ir.tri_e1[tri_idx]
+    e2 = ir.tri_e2[tri_idx]
+    dce2 = jnp.cross(dirs, e2)
+    det = jnp.sum(e1 * dce2, axis=-1)
+    f = 1.0 / jnp.where(jnp.abs(det) >= EPSILON, det, 1.0)
+    p1o = orig - p1
+    u = f * jnp.sum(p1o * dce2, axis=-1)
+    oce1 = jnp.cross(p1o, e1)
+    v = f * jnp.sum(dirs * oce1, axis=-1)
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# candidate assembly
+# ---------------------------------------------------------------------------
+
+def intersect_candidates(ir: SceneIR, orig, dirs) -> jnp.ndarray:
+    """All candidate hit t values: (R, H), +inf for misses.
+
+    Slot order matches slot_tables(meta).
+    """
+    meta = ir.meta
+    parts = []
+    for typ, start, count in meta.type_ranges:
+        inv = ir.inv_tf[start:start + count]          # (N,4,4)
+        lin = inv[:, :3, :3]
+        trans = inv[:, :3, 3]
+        # object-space rays (R, N, 3)
+        o = jnp.einsum("nij,rj->rni", lin, orig) + trans[None]
+        d = jnp.einsum("nij,rj->rni", lin, dirs)
+        params = ir.prim_params[start:start + count][None]  # (1,N,4)
+        if typ == IR.SPHERE:
+            t = _sphere_t(o, d)
+        elif typ == IR.PLANE:
+            t = _plane_t(o, d)
+        elif typ == IR.CUBE:
+            t = _cube_t(o, d)
+        elif typ == IR.CYLINDER:
+            t = _cylinder_t(o, d, params)
+        elif typ == IR.CONE:
+            t = _cone_t(o, d, params)
+        elif typ == IR.TOROID:
+            t = _toroid_t(o, d, params)
+        parts.append(t.reshape(t.shape[0], -1))
+    if meta.n_triangles:
+        t_tri, _, _ = _triangle_t(orig, dirs, ir.tri_p1, ir.tri_e1, ir.tri_e2)
+        parts.append(t_tri)
+    if not parts:
+        return jnp.full((orig.shape[0], 1), jnp.inf, orig.dtype)
+    return jnp.concatenate(parts, axis=-1)
+
+
+class Hit(NamedTuple):
+    valid: jnp.ndarray      # (R,) bool
+    t: jnp.ndarray          # (R,)
+    prim: jnp.ndarray       # (R,) i32 global primitive index (0 if none)
+
+
+def closest_hit(t_cand, slot_prim, mask=None) -> Hit:
+    """First intersection with t > 0 (reference `hit()`,
+    src/intersection/intersection.c:41-54). `mask`: (H,) slot filter."""
+    t = jnp.where(t_cand > 0.0, t_cand, jnp.inf)
+    if mask is not None:
+        t = jnp.where(mask[None], t, jnp.inf)
+    idx = jnp.argmin(t, axis=-1)
+    tbest = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    prim = jnp.asarray(slot_prim)[idx]
+    return Hit(valid=jnp.isfinite(tbest), t=tbest, prim=prim)
+
+
+def sorted_hits(t_cand, slot_prim, k: int):
+    """K nearest intersections sorted ascending by t, *including negative t*
+    (the refraction containers walk starts from the most-negative
+    intersection — src/renderer/renderer.c:406-447 over the fully sorted xs).
+    Returns (t_sorted (R,K), prim_sorted (R,K) with -1 padding)."""
+    k = min(k, t_cand.shape[-1])
+    neg_t, idx = jax.lax.top_k(-t_cand, k)
+    t_sorted = -neg_t[..., ::-1]
+    idx = idx[..., ::-1]
+    prim = jnp.where(jnp.isfinite(t_sorted), jnp.asarray(slot_prim)[idx], -1)
+    return t_sorted, prim
+
+
+def any_hit_within(t_cand, slot_shadow_mask, dist):
+    """Shadow test: any casts_shadow intersection with 0 < t < dist
+    (is_shadowed, src/renderer/renderer.c:73-93)."""
+    ok = (t_cand > 0.0) & (t_cand < dist[..., None]) & slot_shadow_mask[None]
+    return jnp.any(ok, axis=-1)

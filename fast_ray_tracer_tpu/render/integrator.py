@@ -1,0 +1,476 @@
+"""The Whitted integrator, batched and statically unrolled.
+
+The reference recurses per ray: color_at -> shade_hit -> reflected_color/
+refracted_color -> color_at (src/renderer/renderer.c:347-827). Here
+color_at evaluates a whole ray batch at once and the recursion is unrolled
+`remaining` times at trace time, with whole subtrees pruned statically when
+no scene material is reflective/transparent (meta.has_reflective /
+has_refractive) — a teapot scene costs one intersection pass per sample,
+glass scenes cost the full 2^depth wavefront, every pass masked per lane.
+
+Color bookkeeping matches the ColorTriple design exactly: ambient, diffuse
+and specular accumulate in separate channels through the recursion and the
+final pixel is (A + D + S) / 3 (renderer.c:226-230, color.h:24-26).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fast_ray_tracer_tpu.constants import EPSILON, SQRT3
+from fast_ray_tracer_tpu.ops.intersect import (
+    Hit, any_hit_within, closest_hit, intersect_candidates, slot_tables,
+    sorted_hits, triangle_uv_at,
+)
+from fast_ray_tracer_tpu.ops.patterns import ShapeCtx, build_shape_ctx, eval_pattern
+from fast_ray_tracer_tpu.render.normals import normal_at
+from fast_ray_tracer_tpu.scene import ir as IR
+from fast_ray_tracer_tpu.scene.ir import SceneIR
+from fast_ray_tracer_tpu.scene.model import ConfigDesc
+
+
+class Triple(NamedTuple):
+    """Separate ambient/diffuse/specular accumulators (ColorTriple)."""
+    a: jnp.ndarray   # (R,3)
+    d: jnp.ndarray
+    s: jnp.ndarray
+
+    @staticmethod
+    def zeros(r, dtype):
+        z = jnp.zeros((r, 3), dtype)
+        return Triple(z, z, z)
+
+    def __add__(self, o):
+        return Triple(self.a + o.a, self.d + o.d, self.s + o.s)
+
+    def scale(self, f):
+        return Triple(self.a * f, self.d * f, self.s * f)
+
+    def mask(self, m):
+        m = m[..., None]
+        return Triple(jnp.where(m, self.a, 0.0), jnp.where(m, self.d, 0.0),
+                      jnp.where(m, self.s, 0.0))
+
+
+class RenderStatics(NamedTuple):
+    """Per-scene derived tables and static flags."""
+    slot_prim: np.ndarray        # (H,) static
+    prim_mat: jnp.ndarray        # (N_prims,) i32 material per global prim
+    slot_shadow: jnp.ndarray     # (H,) bool casts_shadow per slot
+    prim_ni: jnp.ndarray         # (N_prims,) refractive index per prim
+    cfg: ConfigDesc
+
+
+def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
+    slot_prim = slot_tables(ir.meta)
+    prim_mat = jnp.concatenate([ir.material_id, ir.tri_material_id])
+    slot_shadow = ir.mat_casts_shadow[prim_mat[jnp.asarray(slot_prim)]]
+    prim_ni = ir.mat_Ni[prim_mat]
+    return RenderStatics(slot_prim=slot_prim, prim_mat=prim_mat,
+                         slot_shadow=slot_shadow, prim_ni=prim_ni, cfg=cfg)
+
+
+class Comps(NamedTuple):
+    """prepare_computations outputs (renderer.c:368-495), batched."""
+    valid: jnp.ndarray
+    t: jnp.ndarray
+    prim: jnp.ndarray
+    p: jnp.ndarray
+    eyev: jnp.ndarray
+    normalv: jnp.ndarray
+    reflectv: jnp.ndarray
+    over_point: jnp.ndarray
+    under_point: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    inside: jnp.ndarray
+    mat: jnp.ndarray           # (R,) material index
+    over_Ka: jnp.ndarray       # (R,3) pattern-sampled or constant
+    over_Kd: jnp.ndarray
+    over_Ks: jnp.ndarray
+    over_refl: jnp.ndarray
+    over_Ns: jnp.ndarray       # (R,)
+    over_d: jnp.ndarray        # (R,) dissolve = 1 - Tr (or map_d sample)
+    ctx: ShapeCtx
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v):
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-30)
+
+
+def refraction_indices(t_sorted, prim_sorted, t_hit, prim_ni):
+    """Vectorized "containers" walk (renderer.c:406-447).
+
+    For the hit at t_hit: an object is inside-the-containers iff it has an
+    odd number of intersections strictly before the hit in sorted order;
+    n1 is the Ni of the inside object with the *latest* pre-hit
+    intersection; n2 repeats the computation with the hit included.
+    The walk is over ALL intersections (negative t included).
+    """
+    R, K = t_sorted.shape
+    valid = jnp.isfinite(t_sorted)
+    # hit index within the sorted list = first slot with t == t_hit
+    is_hit = valid & (t_sorted == t_hit[:, None])
+    hit_k = jnp.argmax(is_hit, axis=-1)
+
+    same = (prim_sorted[:, :, None] == prim_sorted[:, None, :]) \
+        & valid[:, :, None] & valid[:, None, :]          # (R,K,K) same[j,k]
+    j_lt_k = (jnp.arange(K)[:, None] < jnp.arange(K)[None, :])[None]
+    j_le_k = (jnp.arange(K)[:, None] <= jnp.arange(K)[None, :])[None]
+
+    def last_inside_ni(limit_excl):
+        # limit_excl: (R,) process entries j < limit_excl
+        in_walk = jnp.arange(K)[None, :] < limit_excl[:, None]   # (R,K)
+        processed = same & in_walk[:, :, None] & in_walk[:, None, :]
+        # occurrences of prim_k among processed j<=... : count with j<k
+        occ_before = jnp.sum(processed & j_lt_k, axis=1)          # (R,K)
+        occ_total = jnp.sum(processed, axis=1)                    # occurrences of prim at k among processed
+        # entry k is the last processed occurrence of its prim
+        is_last = in_walk & (occ_before + 1 == occ_total) & valid
+        odd = (occ_total % 2) == 1
+        active = is_last & odd
+        # latest active entry
+        k_idx = jnp.arange(K)[None, :]
+        best = jnp.max(jnp.where(active, k_idx, -1), axis=-1)
+        any_active = best >= 0
+        prim_at = jnp.take_along_axis(prim_sorted,
+                                      jnp.maximum(best, 0)[:, None], 1)[:, 0]
+        ni = prim_ni[jnp.clip(prim_at, 0, prim_ni.shape[0] - 1)]
+        return jnp.where(any_active, ni, 1.0)
+
+    n1 = last_inside_ni(hit_k)
+    n2 = last_inside_ni(hit_k + 1)
+    return n1, n2
+
+
+def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
+                         t_cand) -> Comps:
+    meta = ir.meta
+    hit = closest_hit(t_cand, rt.slot_prim)
+    t = jnp.where(hit.valid, hit.t, 1.0)
+    prim = hit.prim
+    p = orig + t[:, None] * dirs
+    eyev = -dirs
+
+    ctx = build_shape_ctx(ir, prim)
+    mat = rt.prim_mat[prim]
+
+    # triangle barycentric uv (for smooth normals / uv maps)
+    if meta.n_triangles:
+        na = meta.n_analytic
+        u, v = triangle_uv_at(ir, jnp.clip(prim - na, 0, meta.n_triangles - 1),
+                              orig, dirs)
+        is_tri = prim >= na
+        u = jnp.where(is_tri, u, 0.0)
+        v = jnp.where(is_tri, v, 0.0)
+    else:
+        u = jnp.zeros_like(t)
+        v = jnp.zeros_like(t)
+
+    bump_pid = ir.mat_map[mat, IR.SLOT_BUMP] if meta.any_bump else None
+    normalv = normal_at(ir, ctx, prim, p, u, v, mat_bump_pid=bump_pid)
+    inside = _dot(normalv, eyev) < 0.0
+    normalv = jnp.where(inside[:, None], -normalv, normalv)
+    reflectv = dirs - normalv * (2.0 * _dot(dirs, normalv))[:, None]
+    over_point = p + normalv * EPSILON
+    under_point = p - normalv * EPSILON
+
+    if meta.needs_hit_sort:
+        t_sorted, prim_sorted = sorted_hits(t_cand, rt.slot_prim,
+                                            meta.max_hits)
+        n1, n2 = refraction_indices(t_sorted, prim_sorted, hit.t, rt.prim_ni)
+    else:
+        n1 = jnp.ones_like(t)
+        n2 = jnp.ones_like(t)
+
+    # material map sampling at over_point (renderer.c:449-494)
+    def slot_color(slot, const):
+        if not meta.any_patterns:
+            return const
+        pid = ir.mat_map[mat, slot]
+        patc = eval_pattern(ir, pid, ctx, over_point)
+        return jnp.where((pid >= 0)[:, None], patc, const)
+
+    over_Ka = slot_color(IR.SLOT_KA, ir.mat_Ka[mat])
+    over_Kd = slot_color(IR.SLOT_KD, ir.mat_Kd[mat])
+    over_Ks = slot_color(IR.SLOT_KS, ir.mat_Ks[mat])
+    over_refl = slot_color(IR.SLOT_REFL, ir.mat_refl[mat])
+    over_Ns = slot_color(IR.SLOT_NS, ir.mat_Ns[mat][:, None] *
+                         jnp.ones((1, 3), t.dtype))[:, 0]
+    over_d = slot_color(IR.SLOT_D, (1.0 - ir.mat_Tr[mat])[:, None] *
+                        jnp.ones((1, 3), t.dtype))[:, 0]
+
+    return Comps(valid=hit.valid, t=hit.t, prim=prim, p=p, eyev=eyev,
+                 normalv=normalv, reflectv=reflectv, over_point=over_point,
+                 under_point=under_point, n1=n1, n2=n2, inside=inside,
+                 mat=mat, over_Ka=over_Ka, over_Kd=over_Kd, over_Ks=over_Ks,
+                 over_refl=over_refl, over_Ns=over_Ns, over_d=over_d,
+                 ctx=ctx)
+
+
+# ---------------------------------------------------------------------------
+# shadows and direct lighting
+# ---------------------------------------------------------------------------
+
+def is_shadowed(ir: SceneIR, rt: RenderStatics, light_pts, p):
+    """Batched is_shadowed (renderer.c:73-93). light_pts: (R,S,3), p: (R,3)
+    -> (R,S) bool."""
+    R, S, _ = light_pts.shape
+    v = light_pts - p[:, None, :]
+    dist = jnp.linalg.norm(v, axis=-1)
+    direction = v / dist[..., None].clip(1e-30)
+    o = jnp.broadcast_to(p[:, None, :], (R, S, 3)).reshape(R * S, 3)
+    d = direction.reshape(R * S, 3)
+    t_cand = intersect_candidates(ir, o, d)
+    shadowed = any_hit_within(t_cand, rt.slot_shadow, dist.reshape(R * S))
+    return shadowed.reshape(R, S)
+
+
+def _light_sample_points(ir: SceneIR, li: int, R: int, key):
+    """Surface sample points for light li: (R, S, 3) + per-sample mask.
+
+    Deterministic lights broadcast the compile-time CMJ cache; jittered
+    area/circle lights draw a fresh CMJ table per shading point (the
+    reference picks one of 65536 pre-jittered tables per query,
+    light.c:193-198 — statistically identical)."""
+    typ, usteps, vsteps, jitter, num = ir.meta.light_info[li]
+    S = num
+    if not jitter or key is None or typ in (IR.LIGHT_POINT, IR.LIGHT_HEMISPHERE):
+        pts = ir.light_points[li, :S][None]
+        return jnp.broadcast_to(pts, (R, S, 3))
+    from fast_ray_tracer_tpu.sampling.cmj import cmj_points
+    keys = jax.random.split(key, R)
+    dtype = ir.light_pos.dtype
+    tables = jax.vmap(lambda k: cmj_points(k, usteps, vsteps, True, dtype))(keys)
+    if typ == IR.LIGHT_AREA:
+        u = tables[..., 0] * usteps
+        v = tables[..., 1] * vsteps
+        return (ir.light_pos[li][None, None]
+                + u[..., None] * ir.light_uvec[li][None, None]
+                + v[..., None] * ir.light_vvec[li][None, None])
+    # circle light: uniform disc in the light frame (sampler.c:116-139)
+    theta = 2.0 * jnp.pi * tables[..., 0]
+    r = ir.light_radius[li] * jnp.sqrt(tables[..., 1])
+    n = ir.light_normal[li]
+    nt, nb = _frame(n)
+    return (ir.light_pos[li][None, None]
+            + (r * jnp.cos(theta))[..., None] * nb[None, None]
+            + (r * jnp.sin(theta))[..., None] * nt[None, None])
+
+
+def _frame(n):
+    """create_coordinate_system (sampler.c:66-85) for a single vector."""
+    use_x = jnp.abs(n[0]) > jnp.abs(n[1])
+    nt_a = jnp.stack([n[2], jnp.zeros_like(n[0]), -n[0]])
+    nt_a = nt_a / jnp.sqrt(n[0] ** 2 + n[2] ** 2).clip(1e-30)
+    nt_b = jnp.stack([jnp.zeros_like(n[0]), -n[2], n[1]])
+    nt_b = nt_b / jnp.sqrt(n[1] ** 2 + n[2] ** 2).clip(1e-30)
+    nt = -jnp.where(use_x, nt_a, nt_b)
+    nb = jnp.cross(n, nt)
+    return nt, nb
+
+
+def lighting_microfacet(ir: SceneIR, rt: RenderStatics, comps: Comps,
+                        li: int, light_pts, shade_intensity) -> Triple:
+    """Cook-Torrance-style direct term (renderer.c:894-979)."""
+    cfg = rt.cfg
+    R = comps.p.shape[0]
+    dtype = comps.p.dtype
+    I = ir.light_intensity[li][None]            # (1,3)
+    _, _, _, _, num_samples = ir.meta.light_info[li]
+
+    ambient = comps.over_Ka * I
+    res = Triple.zeros(R, dtype)
+
+    if cfg.include_diffuse or cfg.include_specular_highlight:
+        point = comps.over_point
+        n = comps.normalv
+        eyev = comps.eyev
+        ndote = _dot(n, eyev)
+        diff_v = light_pts - point[:, None, :]            # (R,S,3)
+        lightv = _normalize(diff_v)
+        ldotn = _dot(lightv, n[:, None, :])               # (R,S)
+        cond = ldotn >= 0.0
+
+        d_acc = jnp.zeros((R, 3), dtype)
+        s_acc = jnp.zeros((R, 3), dtype)
+        if cfg.include_diffuse:
+            contrib = comps.over_Kd[:, None, :] * I[None] \
+                * ldotn[..., None]
+            d_acc = jnp.sum(jnp.where(cond[..., None], contrib, 0.0), axis=1)
+        if cfg.include_specular_highlight:
+            h = _normalize(lightv + eyev[:, None, :])
+            ndoth = jnp.maximum(0.0, _dot(n[:, None, :], h))
+            edoth = _dot(eyev[:, None, :], h)
+            edoth_inv = 1.0 / jnp.maximum(edoth, 1e-30)
+            ldoth = _dot(lightv, h)
+            Ns = comps.over_Ns[:, None]
+            D = (Ns + 2.0) * jnp.power(ndoth, Ns) * (0.5 / jnp.pi)
+            gc = 2.0 * ndoth * edoth_inv
+            G = jnp.minimum(1.0, jnp.minimum(gc * ndote[:, None],
+                                             gc * ldotn))
+            fct = jnp.power(1.0 - ldoth, 5.0)
+            Ks = comps.over_Ks[:, None, :]
+            F = Ks + (1.0 - Ks) * fct[..., None]
+            denom = 4.0 * ldotn * ndote[:, None]
+            safe = cond & (denom > 1e-30)
+            brdf = jnp.where(safe, D * G / jnp.where(safe, denom, 1.0), 0.0)
+            s_acc = jnp.sum(jnp.where(safe[..., None],
+                                      F * I[None] * brdf[..., None], 0.0),
+                            axis=1)
+        scaling = (shade_intensity / num_samples)[:, None]
+        # equal(shade_intensity, 0) -> ambient only (renderer.c:904-909)
+        lit = (jnp.abs(shade_intensity) >= EPSILON)[:, None]
+        res = Triple(res.a, res.d + jnp.where(lit, d_acc * scaling, 0.0),
+                     res.s + jnp.where(lit, s_acc * scaling, 0.0))
+
+    if cfg.include_ambient:
+        res = Triple(res.a + ambient, res.d, res.s)
+    return res
+
+
+def intensity_at(ir: SceneIR, rt: RenderStatics, li: int, p, key):
+    """Fraction of unshadowed light samples (light.c:229-251)."""
+    typ, usteps, vsteps, jitter, num = ir.meta.light_info[li]
+    R = p.shape[0]
+    pts = _light_sample_points(ir, li, R, key)
+    shadowed = is_shadowed(ir, rt, pts, p)
+    return jnp.mean(1.0 - shadowed.astype(p.dtype), axis=-1), pts
+
+
+# ---------------------------------------------------------------------------
+# shade_hit & color_at (mutually recursive, statically unrolled)
+# ---------------------------------------------------------------------------
+
+def schlick(comps: Comps):
+    """renderer.c:607-624."""
+    co = _dot(comps.eyev, comps.normalv)
+    n = comps.n1 / comps.n2
+    sin2_t = n * n * (1.0 - co * co)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    co_eff = jnp.where(comps.n1 > comps.n2, cos_t, co)
+    r0 = ((comps.n1 - comps.n2) / (comps.n1 + comps.n2)) ** 2
+    reflectance = r0 + (1.0 - r0) * (1.0 - co_eff) ** 5
+    tir = (comps.n1 > comps.n2) & (sin2_t > 1.0)
+    return jnp.where(tir, 1.0, reflectance)
+
+
+def reflected_color(ir, rt, comps, remaining, key) -> Triple:
+    """renderer.c:497-532."""
+    R = comps.p.shape[0]
+    dtype = comps.p.dtype
+    if remaining == 0 or not ir.meta.has_reflective:
+        return Triple.zeros(R, dtype)
+    refl_flag = ir.mat_reflective[comps.mat] & comps.valid
+    c = color_at(ir, rt, comps.over_point, comps.reflectv, remaining - 1,
+                 key)
+    c = Triple(c.a * comps.over_refl, c.d * comps.over_refl,
+               c.s * comps.over_refl)
+    return c.mask(refl_flag)
+
+
+def refracted_color(ir, rt, comps, remaining, key) -> Triple:
+    """renderer.c:534-605: Snell + total internal reflection + Tf + dissolve."""
+    R = comps.p.shape[0]
+    dtype = comps.p.dtype
+    if remaining == 0 or not ir.meta.has_refractive:
+        return Triple.zeros(R, dtype)
+    active = (comps.over_d > 0.0) & comps.valid
+    n_ratio = comps.n1 / comps.n2
+    cos_i = _dot(comps.eyev, comps.normalv)
+    sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+    active &= sin2_t <= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    direction = comps.normalv * (n_ratio * cos_i - cos_t)[:, None] \
+        - comps.eyev * n_ratio[:, None]
+    c = color_at(ir, rt, comps.under_point, direction, remaining - 1, key)
+    tf = ir.mat_Tf[comps.mat]
+    f = tf * comps.over_d[:, None]
+    c = Triple(c.a * f, c.d * f, c.s * f)
+    return c.mask(active)
+
+
+def shade_hit(ir: SceneIR, rt: RenderStatics, comps: Comps, remaining: int,
+              key) -> Triple:
+    """renderer.c:689-827 (direct + specular; GI terms added by the photon
+    module when enabled)."""
+    cfg = rt.cfg
+    R = comps.p.shape[0]
+    dtype = comps.p.dtype
+    surface = Triple.zeros(R, dtype)
+
+    if cfg.include_direct:
+        for li in range(ir.meta.n_lights):
+            k1 = k2 = None
+            if key is not None:
+                key, k1, k2 = jax.random.split(key, 3)
+            typ = ir.meta.light_info[li][0]
+            if typ in (IR.LIGHT_POINT, IR.LIGHT_HEMISPHERE):
+                pts = _light_sample_points(ir, li, R, None)
+                shadowed = is_shadowed(ir, rt, pts, comps.over_point)
+                intensity = 1.0 - shadowed[:, 0].astype(dtype)
+                light_pts = pts
+            else:
+                intensity, _ = intensity_at(ir, rt, li, comps.over_point, k1)
+                light_pts = _light_sample_points(ir, li, R, k2)
+            surface = surface + lighting_microfacet(
+                ir, rt, comps, li, light_pts, intensity)
+
+    # GI (photon map) terms attach here — see render/photon.py
+    if getattr(rt.cfg, "_gi_hook", None) is not None:
+        gi_add = rt.cfg._gi_hook(ir, rt, comps, key)
+        a = surface.a + gi_add
+        # L1 clamp of the ambient channel (renderer.c:765-769)
+        l1 = jnp.sum(a, axis=-1, keepdims=True)
+        a = jnp.where(l1 > SQRT3, a * SQRT3 / l1, a)
+        surface = Triple(a, surface.d, surface.s)
+
+    # note: this block runs even at remaining == 0 (children return black)
+    # because the dissolve multiply below applies regardless
+    # (renderer.c:773-822)
+    if cfg.include_specular and (ir.meta.has_reflective
+                                 or ir.meta.has_refractive):
+        kr = kt = None
+        if key is not None:
+            key, kr, kt = jax.random.split(key, 3)
+        reflected = reflected_color(ir, rt, comps, remaining, kr)
+        refracted = refracted_color(ir, rt, comps, remaining, kt)
+
+        both = ir.mat_reflective[comps.mat] & (comps.over_d < 1.0)
+        reflectance = schlick(comps)
+        rf = jnp.where(both, reflectance, 1.0)[:, None]
+        tf = jnp.where(both, 1.0 - reflectance, 1.0)[:, None]
+        reflected = Triple(reflected.a * rf, reflected.d * rf,
+                           reflected.s * rf)
+        refracted = Triple(refracted.a * tf, refracted.d * tf,
+                           refracted.s * tf)
+
+        surface = surface + reflected
+
+        # dissolve scales the accumulated surface *before* adding the
+        # refracted term (renderer.c:804-817)
+        dis = (ir.mat_Tr[comps.mat] > 0.0) & (comps.over_d > 0.0)
+        f = jnp.where(dis, 1.0 - comps.over_d, 1.0)[:, None]
+        surface = Triple(surface.a * f, surface.d * f, surface.s * f)
+
+        surface = surface + refracted
+
+    return surface
+
+
+def color_at(ir: SceneIR, rt: RenderStatics, orig, dirs, remaining: int,
+             key) -> Triple:
+    """renderer.c:347-366, for a ray batch."""
+    t_cand = intersect_candidates(ir, orig, dirs)
+    comps = prepare_computations(ir, rt, orig, dirs, t_cand)
+    triple = shade_hit(ir, rt, comps, remaining, key)
+    return triple.mask(comps.valid)

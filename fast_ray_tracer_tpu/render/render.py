@@ -1,0 +1,111 @@
+"""Top-level render driver.
+
+The reference parallelizes with one pthread job per scanline over
+per-thread world replicas (renderer.c:243-281). Here the image is a flat
+pixel batch: every pixel's usteps x vsteps subpixel samples become rays in
+one batch, chunked to bound memory, each chunk one jit'd device program.
+Multi-chip sharding shards the pixel axis over a jax Mesh (see
+parallel/mesh.py) — the scene tables are replicated, the canvas is the
+only gathered output, exactly the data-parallel structure the reference's
+thread pool approximates on shared memory.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fast_ray_tracer_tpu.sampling.cmj import cmj_points, cmj_points_static
+from fast_ray_tracer_tpu.scene.compile import compile_scene
+from fast_ray_tracer_tpu.scene.ir import SceneIR
+from fast_ray_tracer_tpu.scene.model import SceneDesc
+from fast_ray_tracer_tpu.render.camera import (
+    build_camera, rays_for_pixels, sample_aperture,
+)
+from fast_ray_tracer_tpu.render.integrator import (
+    Triple, build_statics, color_at,
+)
+
+
+def render_scene(scene: SceneDesc, dtype=jnp.float32,
+                 chunk_pixels: int = 8192, key=None,
+                 progress: bool = False) -> np.ndarray:
+    """Render a scene to an (H, W, 3) float canvas (linear, pre-encode).
+
+    Deterministic configs (no jitter, point aperture) need no key and
+    reproduce the reference renderer's output; stochastic configs take a
+    jax PRNG key replacing the reference's global drand48.
+    """
+    ir = compile_scene(scene, dtype=dtype)
+    cam = scene.camera
+    cam_rt = build_camera(cam, dtype=dtype)
+    rt = build_statics(ir, scene.config)
+
+    needs_rng = (cam.aperture.jitter or cam.aperture.kind not in
+                 ("POINT_APERTURE", "HEXAGONAL_APERTURE",
+                  "PENTAGONAL_APERTURE", "OCTAGONAL_APERTURE")
+                 or any(info[3] for info in ir.meta.light_info))
+    if needs_rng and key is None:
+        key = jax.random.PRNGKey(0)
+    if not needs_rng:
+        key = None
+
+    W, H = cam.width, cam.height
+    S = cam.usteps * cam.vsteps
+    path_length = scene.config.di_path_length
+
+    # deterministic subpixel jitter table (jitter=False -> constant for all
+    # pixels, matching sampler reset semantics)
+    det_table = jnp.asarray(cmj_points_static(cam.usteps, cam.vsteps), dtype)
+
+    @partial(jax.jit, static_argnums=())
+    def render_chunk(ir_in, px, py, chunk_key):
+        n = px.shape[0]
+        # subpixel sample table per pixel: (n, S, 2)
+        if chunk_key is None or not cam.aperture.jitter:
+            uv = jnp.broadcast_to(det_table[None], (n, S, 2))
+            ap_key = None if chunk_key is None else chunk_key
+        else:
+            kt, ap_key = jax.random.split(chunk_key)
+            keys = jax.random.split(kt, n)
+            uv = jax.vmap(lambda k: cmj_points(
+                k, cam.usteps, cam.vsteps, True, dtype))(keys)
+        px_r = jnp.repeat(px, S)
+        py_r = jnp.repeat(py, S)
+        uv_r = uv.reshape(n * S, 2)
+        ap = sample_aperture(cam_rt, n * S,
+                             None if ap_key is None else ap_key, dtype)
+        orig, dirs = rays_for_pixels(cam_rt, px_r, py_r, uv_r, ap)
+        ray_key = None
+        if chunk_key is not None:
+            ray_key = jax.random.fold_in(chunk_key, 1)
+        triple = color_at(ir_in, rt, orig, dirs, path_length, ray_key)
+        # per-pixel average then (A + D + S) / 3 (renderer.c:174-230)
+        a = triple.a.reshape(n, S, 3).mean(axis=1)
+        d = triple.d.reshape(n, S, 3).mean(axis=1)
+        s = triple.s.reshape(n, S, 3).mean(axis=1)
+        return (a + d + s) / 3.0
+
+    total = W * H
+    xs = np.tile(np.arange(W, dtype=np.int32), H)
+    ys = np.repeat(np.arange(H, dtype=np.int32), W)
+    out = np.zeros((total, 3), dtype=np.float64)
+    n_chunks = math.ceil(total / chunk_pixels)
+    for c in range(n_chunks):
+        lo = c * chunk_pixels
+        hi = min(lo + chunk_pixels, total)
+        # pad the tail chunk to the fixed chunk size (one compiled program)
+        pad = chunk_pixels - (hi - lo)
+        px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
+        py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
+        ck = None if key is None else jax.random.fold_in(key, c)
+        res = render_chunk(ir, jnp.asarray(px), jnp.asarray(py), ck)
+        out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
+        if progress:
+            print(f"chunk {c + 1}/{n_chunks}", flush=True)
+    return out.reshape(H, W, 3)

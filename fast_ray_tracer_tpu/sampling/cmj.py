@@ -1,0 +1,94 @@
+"""Correlated multi-jittered (CMJ) 2D sampling, stateless.
+
+The reference keeps a mutable sample table regenerated via `reset()`
+(src/libs/sampler/sampler.c:414-469): a canonical CMJ arrangement
+
+    arr[j*m+i].x = (i + (j + xi)/n) / m      (n = usteps, m = vsteps)
+    arr[j*m+i].y = (j + (i + xi)/m) / n
+
+followed by an in-place truncation-indexed swap pass ("shuffle") over rows
+for x and columns for y, and indexed reads `get_point((u,v)) ->
+arr[v*usteps + u]`. The jitter source is global drand48 or the constant 0.5.
+
+Here the same arrangement is computed as a pure function: deterministic
+(jitter=False -> xi = 0.5 everywhere, byte-identical to the C output) or
+keyed (jitter=True -> xi from jax.random, statistically identical to the
+drand48 stream). Note the C code's index-convention quirk: the canonical pass
+fills the flat array with stride m=vsteps while get_point reads with stride
+usteps; we reproduce the flat-array layout literally so non-square sample
+grids match the reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def cmj_points_static(usteps: int, vsteps: int) -> np.ndarray:
+    """Deterministic (jitter=False) CMJ table; returns (usteps*vsteps, 2).
+
+    Row s corresponds to sample index s = v*usteps + u, matching the C
+    `get_point` read order. Computed in float64 on host.
+    """
+    count = usteps * vsteps
+    x = np.zeros(count)
+    y = np.zeros(count)
+    n, m = usteps, vsteps
+    xi = 0.5
+    for j in range(n):
+        for i in range(m):
+            idx = j * m + i
+            x[idx] = (i + (j + xi) / n) / m
+            y[idx] = (j + (i + xi) / m) / n
+    # shuffle: note swapped roles (m=usteps, n=vsteps), as in the C source.
+    m2, n2 = usteps, vsteps
+    for j in range(n2):
+        k = int(j + xi * (n2 - j))
+        for i in range(m2):
+            a, b = j * m2 + i, k * m2 + i
+            x[a], x[b] = x[b], x[a]
+    for i in range(m2):
+        k = int(i + xi * (m2 - i))
+        for j in range(n2):
+            a, b = j * m2 + i, j * m2 + k
+            y[a], y[b] = y[b], y[a]
+    return np.stack([x, y], axis=-1)
+
+
+def cmj_points(key, usteps: int, vsteps: int, jitter: bool, dtype=jnp.float32):
+    """CMJ table as a traced function of `key`; returns (usteps*vsteps, 2).
+
+    jitter=False returns the deterministic table (constant-folded).
+    """
+    count = usteps * vsteps
+    if not jitter:
+        return jnp.asarray(cmj_points_static(usteps, vsteps), dtype=dtype)
+
+    n, m = usteps, vsteps
+    k_can, k_shufx, k_shufy = jax.random.split(key, 3)
+    xi = jax.random.uniform(k_can, (count, 2), dtype=dtype)
+
+    j_idx = jnp.arange(count, dtype=dtype) // m   # canonical row j
+    i_idx = jnp.arange(count, dtype=dtype) % m    # canonical col i
+    x = (i_idx + (j_idx + xi[:, 0]) / n) / m
+    y = (j_idx + (i_idx + xi[:, 1]) / m) / n
+
+    # Truncation-indexed swap passes (a Fisher-Yates over rows/cols).
+    m2, n2 = usteps, vsteps
+    ks_x = jax.random.uniform(k_shufx, (n2,), dtype=dtype)
+    ks_y = jax.random.uniform(k_shufy, (m2,), dtype=dtype)
+    x = x.reshape(n2, m2)
+    for j in range(n2):
+        k = (j + ks_x[j] * (n2 - j)).astype(jnp.int32)
+        row_j, row_k = x[j], x[k]
+        x = x.at[j].set(row_k)
+        x = x.at[k].set(row_j)
+    y = y.reshape(n2, m2)
+    for i in range(m2):
+        k = (i + ks_y[i] * (m2 - i)).astype(jnp.int32)
+        col_i, col_k = y[:, i], y[:, k]
+        y = y.at[:, i].set(col_k)
+        y = y.at[:, k].set(col_i)
+    return jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)

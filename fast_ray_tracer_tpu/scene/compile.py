@@ -1,0 +1,503 @@
+"""Scene compiler: SceneDesc (YAML-shaped objects) -> SceneIR tensors.
+
+Replaces the reference's Python->C codegen (yaml_parser/*.py c_repr) plus the
+C constructors: transform chains are composed and inverted here, group
+hierarchies are dissolved by pre-composing parent transforms into leaves,
+triangle meshes are pre-transformed to world space (barycentric coordinates
+and Möller-Trumbore t values are affine-invariant, so intersection results
+are unchanged), and materials/patterns/textures/lights flatten into tables.
+
+Color handling matches the generated code: the YAML `color-space` decode
+function is applied to material base colors and pattern colors on input
+(yaml_parser/material.py:82-87, pattern.py:33-43), then Ka/Kd/Ks are the
+decoded base color scaled by ambient/diffuse/specular.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from fast_ray_tracer_tpu import colors as colorlib
+from fast_ray_tracer_tpu.sampling.cmj import cmj_points_static
+from fast_ray_tracer_tpu.scene import ir as IR
+from fast_ray_tracer_tpu.scene.ir import SceneIR, SceneMeta
+from fast_ray_tracer_tpu.scene.model import (
+    LightDesc, MaterialDesc, PatternDesc, SceneDesc, ShapeDesc,
+)
+
+_KIND_TO_TYPE = {
+    "sphere": IR.SPHERE, "plane": IR.PLANE, "cube": IR.CUBE,
+    "cylinder": IR.CYLINDER, "cone": IR.CONE, "toroid": IR.TOROID,
+}
+
+_PAT_KIND = {
+    "checker": IR.PAT_CHECKER, "gradient": IR.PAT_GRADIENT,
+    "radial_gradient": IR.PAT_RADIAL_GRADIENT, "ring": IR.PAT_RING,
+    "stripe": IR.PAT_STRIPE, "blended": IR.PAT_BLENDED,
+    "nested": IR.PAT_NESTED, "perturbed": IR.PAT_PERTURBED,
+    "map": IR.PAT_MAP, "uv_checker": IR.PAT_UV_CHECKER,
+    "uv_align_check": IR.PAT_UV_ALIGN_CHECK, "uv_image": IR.PAT_UV_TEXTURE,
+}
+
+_MAP_KIND = {
+    "cube": IR.MAP_CUBE, "cylinder": IR.MAP_CYLINDER, "plane": IR.MAP_PLANE,
+    "sphere": IR.MAP_SPHERE, "toroid": IR.MAP_TOROID,
+    "triangle": IR.MAP_TRIANGLE,
+}
+
+_LIGHT_KIND = {
+    "point": IR.LIGHT_POINT, "area": IR.LIGHT_AREA,
+    "circle": IR.LIGHT_CIRCLE, "hemisphere": IR.LIGHT_HEMISPHERE,
+}
+
+
+def transform_matrix(item) -> np.ndarray:
+    """One YAML transform entry -> 4x4 (host float64)."""
+    op = item[0]
+    m = np.eye(4)
+    if op == "translate":
+        m[:3, 3] = item[1:4]
+    elif op == "scale":
+        m[0, 0], m[1, 1], m[2, 2] = item[1:4]
+    elif op == "rotate-x":
+        c, s = math.cos(item[1]), math.sin(item[1])
+        m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
+    elif op == "rotate-y":
+        c, s = math.cos(item[1]), math.sin(item[1])
+        m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
+    elif op == "rotate-z":
+        c, s = math.cos(item[1]), math.sin(item[1])
+        m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c, -s, s, c
+    elif op == "shear":
+        (m[0, 1], m[0, 2], m[1, 0], m[1, 2], m[2, 0], m[2, 1]) = item[1:7]
+    else:
+        raise ValueError(f"Unknown transform: {op}")
+    return m
+
+
+def compose_chain(chain) -> np.ndarray:
+    """YAML transform list -> matrix; later entries apply last
+    (reference transform_chain semantics, yaml_parser/transform.py:26-40)."""
+    m = np.eye(4)
+    for item in chain or []:
+        m = transform_matrix(item) @ m
+    return m
+
+
+class _Tables:
+    """Mutable accumulators during the compile walk."""
+
+    def __init__(self, decode, root_dir):
+        self.decode = decode           # input color decode fn (numpy)
+        self.root_dir = root_dir
+        # analytic prims
+        self.a_type: List[int] = []
+        self.a_inv: List[np.ndarray] = []
+        self.a_params: List[List[float]] = []
+        self.a_mat: List[int] = []
+        self.a_csg: List[Tuple[int, int]] = []
+        # triangles
+        self.t_rows: List[Tuple] = []     # (p1,p2,p3,n1,n2,n3,t1,t2,t3,use_tex,mat,csg,side)
+        # materials
+        self.m_rows: List[Dict] = []
+        # patterns
+        self.p_rows: List[Dict] = []
+        # textures
+        self.tex_imgs: List[np.ndarray] = []
+        self.tex_by_file: Dict[str, int] = {}
+
+    # ---------------- textures ----------------
+
+    def texture_id(self, file: str, decode_to_linear: bool) -> int:
+        """Load a texture once per path; like the reference's resource dedup,
+        the first use's decode choice sticks (yaml_parser/pattern.py:262-282)."""
+        if file in self.tex_by_file:
+            return self.tex_by_file[file]
+        from fast_ray_tracer_tpu.io.ppm import read_png, read_ppm
+        path = file
+        if not os.path.exists(path):
+            path = os.path.join(self.root_dir, file)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"texture not found: {file}")
+        decode = self.decode if decode_to_linear else None
+        if path.endswith(".ppm"):
+            img = read_ppm(path, decode=decode)
+        else:
+            img = read_png(path, decode=decode)
+        tid = len(self.tex_imgs)
+        self.tex_imgs.append(np.asarray(img, dtype=np.float64))
+        self.tex_by_file[file] = tid
+        return tid
+
+    # ---------------- patterns ----------------
+
+    def add_pattern(self, p: Optional[PatternDesc]) -> int:
+        if p is None:
+            return -1
+        row = {
+            "type": _PAT_KIND[p.kind],
+            "inv": np.linalg.inv(compose_chain(p.transform)),
+            "colors": np.zeros((5, 3)),
+            "params": np.zeros(6),
+            "children": -np.ones(6, dtype=np.int64),
+            "map_kind": 0,
+            "tex": -1,
+        }
+        if p.kind in ("checker", "gradient", "radial_gradient", "ring",
+                      "stripe", "uv_checker", "uv_align_check"):
+            cs = np.asarray(self.decode(np.asarray(p.colors, dtype=np.float64)))
+            row["colors"][: len(p.colors)] = cs
+            if p.kind == "uv_checker":
+                row["params"][0] = p.width
+                row["params"][1] = p.height
+        elif p.kind == "uv_image":
+            row["tex"] = self.texture_id(p.file, p.decode_to_linear)
+        elif p.kind in ("blended", "nested", "perturbed"):
+            kids = [self.add_pattern(c) for c in p.children]
+            row["children"][: len(kids)] = kids
+            if p.kind == "perturbed":
+                row["params"][:5] = [p.frequency, p.scale_factor,
+                                     p.persistence, p.octaves, p.seed]
+        elif p.kind == "map":
+            row["map_kind"] = _MAP_KIND[p.mapping]
+            faces = [self.add_pattern(f) for f in p.faces]
+            row["children"][: len(faces)] = faces
+        self.p_rows.append(row)
+        return len(self.p_rows) - 1
+
+    # ---------------- materials ----------------
+
+    def add_material(self, m: Optional[MaterialDesc]) -> int:
+        if m is None:
+            m = MaterialDesc()
+        base = np.asarray(self.decode(np.asarray(m.color, dtype=np.float64)))
+        row = {
+            # explicit MTL-style overrides (OBJ loader) win over legacy fields
+            "Ka": np.asarray(m.Ka) if m.Ka is not None else base * m.ambient,
+            "Kd": np.asarray(m.Kd) if m.Kd is not None else base * m.diffuse,
+            "Ks": np.asarray(m.Ks) if m.Ks is not None else base * m.specular,
+            "Tf": (np.asarray(m.Tf) if m.Tf is not None
+                   else np.full(3, m.transparency)),
+            "refl": (np.asarray(m.refl_color) if m.refl_color is not None
+                     else np.full(3, m.reflective)),
+            "Ns": m.shininess,
+            "Ni": m.refractive_index,
+            "Tr": m.transparency,
+            "casts_shadow": bool(m.casts_shadow),
+            "map": [-1] * 8,
+        }
+        row["reflective"] = bool((row["refl"] > 0.0).any())
+        for i, slot in enumerate(IR.MAP_SLOTS):
+            if slot in m.patterns:
+                row["map"][i] = self.add_pattern(m.patterns[slot])
+        self.m_rows.append(row)
+        return len(self.m_rows) - 1
+
+
+def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
+          csg_id: int, csg_side: int, inherited_mat: Optional[int]) -> None:
+    """Dissolve the shape tree into flat leaf rows."""
+    m_world = parent_m @ compose_chain(shape.transform)
+
+    if shape.kind == "group":
+        for child in shape.children:
+            _walk(child, m_world, tables, csg_id, csg_side, inherited_mat)
+        return
+    if shape.kind == "csg":
+        raise NotImplementedError("CSG compiled in compile_csg pass")  # set below
+    if shape.kind == "obj":
+        from fast_ray_tracer_tpu.scene.obj_loader import load_obj_into
+        load_obj_into(shape, m_world, tables, csg_id, csg_side)
+        return
+
+    mat_id = (tables.add_material(shape.material)
+              if shape.material is not None else
+              (inherited_mat if inherited_mat is not None
+               else tables.add_material(None)))
+
+    if shape.kind in ("triangle", "smooth_triangle"):
+        lin = m_world[:3, :3]
+        nrm_m = np.linalg.inv(m_world)[:3, :3].T
+        p1 = lin @ shape.p1 + m_world[:3, 3]
+        p2 = lin @ shape.p2 + m_world[:3, 3]
+        p3 = lin @ shape.p3 + m_world[:3, 3]
+        if shape.kind == "triangle":
+            # flat normal = normalize(cross(e2, e1)) in object space
+            # (src/shapes/triangle.c:84-91), mapped through inv^T
+            e1o = np.asarray(shape.p2) - np.asarray(shape.p1)
+            e2o = np.asarray(shape.p3) - np.asarray(shape.p1)
+            n_obj = np.cross(e2o, e1o)
+            n_obj = n_obj / np.linalg.norm(n_obj)
+            n = nrm_m @ n_obj
+            n1 = n2 = n3 = n
+        else:
+            n1 = nrm_m @ shape.n1
+            n2 = nrm_m @ shape.n2
+            n3 = nrm_m @ shape.n3
+        use_tex = shape.t1 is not None
+        t1 = shape.t1[:2] if use_tex else (0.0, 0.0)
+        t2 = shape.t2[:2] if use_tex else (0.0, 0.0)
+        t3 = shape.t3[:2] if use_tex else (0.0, 0.0)
+        tables.t_rows.append((p1, p2 - p1, p3 - p1, n1, n2, n3,
+                              t1, t2, t3, use_tex, mat_id, csg_id, csg_side))
+        return
+
+    typ = _KIND_TO_TYPE[shape.kind]
+    params = [0.0, 0.0, 0.0, 0.0]
+    if shape.kind in ("cylinder", "cone"):
+        params = [shape.minimum, shape.maximum, 1.0 if shape.closed else 0.0, 0.0]
+    elif shape.kind == "toroid":
+        params = [shape.r1, shape.r2, 0.0, 0.0]
+    tables.a_type.append(typ)
+    tables.a_inv.append(np.linalg.inv(m_world))
+    tables.a_params.append(params)
+    tables.a_mat.append(mat_id)
+    tables.a_csg.append((csg_id, csg_side))
+
+
+def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
+    decode = _np_decode(scene.config.color_space)
+    tables = _Tables(decode, scene.root_dir)
+
+    for shape in scene.world:
+        _walk(shape, np.eye(4), tables, csg_id=-1, csg_side=0,
+              inherited_mat=None)
+
+    # ---- analytic block, grouped by type ----
+    order = np.argsort(np.asarray(tables.a_type, dtype=np.int64), kind="stable") \
+        if tables.a_type else np.zeros(0, dtype=np.int64)
+    a_type = np.asarray(tables.a_type, dtype=np.int64)[order] if len(order) else np.zeros(0, np.int64)
+    inv = (np.stack(tables.a_inv)[order] if len(order)
+           else np.zeros((0, 4, 4)))
+    params = (np.asarray(tables.a_params)[order] if len(order)
+              else np.zeros((0, 4)))
+    a_mat = (np.asarray(tables.a_mat, dtype=np.int64)[order] if len(order)
+             else np.zeros(0, np.int64))
+    a_csg = (np.asarray([c for c, _ in tables.a_csg], dtype=np.int64)[order]
+             if len(order) else np.zeros(0, np.int64))
+    a_side = (np.asarray([s for _, s in tables.a_csg], dtype=np.int64)[order]
+              if len(order) else np.zeros(0, np.int64))
+
+    type_ranges = []
+    for t in range(6):
+        idx = np.nonzero(a_type == t)[0]
+        if len(idx):
+            type_ranges.append((t, int(idx[0]), int(len(idx))))
+
+    # ---- triangles ----
+    nt = len(tables.t_rows)
+    def tcol(i, width=3):
+        if nt == 0:
+            return np.zeros((0, width))
+        return np.asarray([np.asarray(r[i], dtype=np.float64) for r in tables.t_rows])
+    tri_p1, tri_e1, tri_e2 = tcol(0), tcol(1), tcol(2)
+    tri_n1, tri_n2, tri_n3 = tcol(3), tcol(4), tcol(5)
+    tri_t1, tri_t2, tri_t3 = tcol(6, 2), tcol(7, 2), tcol(8, 2)
+    tri_use_tex = (np.asarray([r[9] for r in tables.t_rows], dtype=bool)
+                   if nt else np.zeros(0, bool))
+    tri_mat = (np.asarray([r[10] for r in tables.t_rows], dtype=np.int64)
+               if nt else np.zeros(0, np.int64))
+    tri_csg = (np.asarray([r[11] for r in tables.t_rows], dtype=np.int64)
+               if nt else np.zeros(0, np.int64))
+    tri_side = (np.asarray([r[12] for r in tables.t_rows], dtype=np.int64)
+                if nt else np.zeros(0, np.int64))
+
+    # ---- materials ----
+    if not tables.m_rows:
+        tables.add_material(None)
+    M = len(tables.m_rows)
+    mat = {k: np.stack([np.asarray(r[k], dtype=np.float64) for r in tables.m_rows])
+           for k in ("Ka", "Kd", "Ks", "Tf", "refl")}
+    mat_Ns = np.asarray([r["Ns"] for r in tables.m_rows])
+    mat_Ni = np.asarray([r["Ni"] for r in tables.m_rows])
+    mat_Tr = np.asarray([r["Tr"] for r in tables.m_rows])
+    mat_reflective = np.asarray([r["reflective"] for r in tables.m_rows], bool)
+    mat_shadow = np.asarray([r["casts_shadow"] for r in tables.m_rows], bool)
+    mat_map = np.asarray([r["map"] for r in tables.m_rows], dtype=np.int64)
+
+    # ---- patterns ----
+    P = len(tables.p_rows)
+    if P:
+        pat_type = np.asarray([r["type"] for r in tables.p_rows], np.int64)
+        pat_inv = np.stack([r["inv"] for r in tables.p_rows])
+        pat_colors = np.stack([r["colors"] for r in tables.p_rows])
+        pat_params = np.stack([r["params"] for r in tables.p_rows])
+        pat_children = np.stack([r["children"] for r in tables.p_rows])
+        pat_map_kind = np.asarray([r["map_kind"] for r in tables.p_rows], np.int64)
+        pat_tex = np.asarray([r["tex"] for r in tables.p_rows], np.int64)
+    else:
+        pat_type = np.zeros(0, np.int64)
+        pat_inv = np.zeros((0, 4, 4))
+        pat_colors = np.zeros((0, 5, 3))
+        pat_params = np.zeros((0, 6))
+        pat_children = np.zeros((0, 6), np.int64)
+        pat_map_kind = np.zeros(0, np.int64)
+        pat_tex = np.zeros(0, np.int64)
+
+    # ---- texture atlas ----
+    if tables.tex_imgs:
+        offsets, flat = [], []
+        off = 0
+        for img in tables.tex_imgs:
+            offsets.append(off)
+            flat.append(img.reshape(-1, 3))
+            off += img.shape[0] * img.shape[1]
+        tex_data = np.concatenate(flat, axis=0)
+        tex_offset = np.asarray(offsets, np.int64)
+        tex_width = np.asarray([i.shape[1] for i in tables.tex_imgs], np.int64)
+        tex_height = np.asarray([i.shape[0] for i in tables.tex_imgs], np.int64)
+    else:
+        tex_data = np.zeros((1, 3))
+        tex_offset = np.zeros(1, np.int64)
+        tex_width = np.ones(1, np.int64)
+        tex_height = np.ones(1, np.int64)
+
+    # ---- lights ----
+    L = len(scene.lights)
+    light_info = []
+    li_int = np.zeros((L, 3))
+    li_pos = np.zeros((L, 3))
+    li_uvec = np.zeros((L, 3))
+    li_vvec = np.zeros((L, 3))
+    li_normal = np.zeros((L, 3))
+    li_radius = np.zeros(L)
+    pts_list, mask_list = [], []
+    for i, ld in enumerate(scene.lights):
+        t = _LIGHT_KIND[ld.kind]
+        num = ld.usteps * ld.vsteps if ld.kind in ("area", "circle") else 1
+        light_info.append((t, ld.usteps, ld.vsteps, bool(ld.jitter), num))
+        li_int[i] = ld.intensity
+        if ld.kind == "point":
+            li_pos[i] = ld.at
+            pts_list.append(np.asarray(ld.at, dtype=np.float64)[None])
+        elif ld.kind == "hemisphere":
+            li_pos[i] = ld.at
+            n = np.asarray(ld.to) - np.asarray(ld.at)
+            li_normal[i] = n / np.linalg.norm(n)
+            pts_list.append(np.asarray(ld.at, dtype=np.float64)[None])
+        elif ld.kind == "area":
+            # stored uvec/vvec are the full edge / steps (light.c:303-309)
+            li_pos[i] = ld.corner
+            li_uvec[i] = np.asarray(ld.uvec) / ld.usteps
+            li_vvec[i] = np.asarray(ld.vvec) / ld.vsteps
+            pts_list.append(_area_light_points(
+                np.asarray(ld.corner), li_uvec[i], li_vvec[i],
+                ld.usteps, ld.vsteps))
+        elif ld.kind == "circle":
+            li_pos[i] = ld.at
+            n = np.asarray(ld.to) - np.asarray(ld.at)
+            li_normal[i] = n / np.linalg.norm(n)
+            li_radius[i] = ld.radius
+            pts_list.append(_circle_light_points(
+                np.asarray(ld.at), li_normal[i], ld.radius,
+                ld.usteps, ld.vsteps))
+        mask_list.append(np.ones(len(pts_list[-1]), bool))
+    s_max = max([len(p) for p in pts_list], default=1)
+    li_points = np.zeros((L, s_max, 3))
+    li_mask = np.zeros((L, s_max), bool)
+    for i, (p, m) in enumerate(zip(pts_list, mask_list)):
+        li_points[i, : len(p)] = p
+        li_mask[i, : len(p)] = m
+
+    cfg = scene.config
+    has_refl = bool(mat_reflective.any()) and cfg.include_specular
+    has_refr = bool((mat_Tr > 0).any() or (mat_map[:, IR.SLOT_D] >= 0).any()) \
+        and cfg.include_specular
+    n_hit_slots = int(sum(IR.TYPE_MAX_HITS[t] * c for t, _, c in type_ranges)) + nt
+
+    meta = SceneMeta(
+        n_analytic=len(a_type), n_triangles=nt, n_materials=M, n_patterns=P,
+        n_lights=L, type_ranges=tuple(type_ranges),
+        light_info=tuple(light_info), max_light_samples=s_max,
+        has_reflective=has_refl, has_refractive=has_refr,
+        needs_hit_sort=has_refr,
+        max_hits=min(16, max(2, n_hit_slots)),
+        any_patterns=bool((mat_map >= 0).any()),
+        any_bump=bool((mat_map[:, IR.SLOT_BUMP] >= 0).any()),
+    )
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    return SceneIR(
+        meta=meta,
+        inv_tf=f(inv), prim_params=f(params), material_id=i32(a_mat),
+        csg_leaf=i32(a_csg), csg_side=i32(a_side),
+        tri_p1=f(tri_p1), tri_e1=f(tri_e1), tri_e2=f(tri_e2),
+        tri_n1=f(tri_n1), tri_n2=f(tri_n2), tri_n3=f(tri_n3),
+        tri_t1=f(tri_t1), tri_t2=f(tri_t2), tri_t3=f(tri_t3),
+        tri_use_tex=jnp.asarray(tri_use_tex), tri_material_id=i32(tri_mat),
+        tri_csg_leaf=i32(tri_csg), tri_csg_side=i32(tri_side),
+        mat_Ka=f(mat["Ka"]), mat_Kd=f(mat["Kd"]), mat_Ks=f(mat["Ks"]),
+        mat_Tf=f(mat["Tf"]), mat_refl=f(mat["refl"]),
+        mat_Ns=f(mat_Ns), mat_Ni=f(mat_Ni), mat_Tr=f(mat_Tr),
+        mat_reflective=jnp.asarray(mat_reflective),
+        mat_casts_shadow=jnp.asarray(mat_shadow), mat_map=i32(mat_map),
+        pat_type=i32(pat_type), pat_inv_tf=f(pat_inv),
+        pat_colors=f(pat_colors), pat_params=f(pat_params),
+        pat_children=i32(pat_children), pat_map_kind=i32(pat_map_kind),
+        pat_tex=i32(pat_tex),
+        tex_data=f(tex_data), tex_offset=i32(tex_offset),
+        tex_width=i32(tex_width), tex_height=i32(tex_height),
+        light_intensity=f(li_int), light_pos=f(li_pos),
+        light_uvec=f(li_uvec), light_vvec=f(li_vvec),
+        light_normal=f(li_normal), light_radius=f(li_radius),
+        light_points=f(li_points), light_mask=jnp.asarray(li_mask),
+    )
+
+
+def _np_decode(color_space: str):
+    """Input color decode on host numpy (matches colors.INPUT_DECODE)."""
+    if color_space == "SRGB":
+        return lambda c: np.where(np.asarray(c) <= 0.04045,
+                                  np.asarray(c) / 12.92,
+                                  np.power((np.asarray(c) + 0.055) / 1.055, 2.4))
+    if color_space == "XYZ":
+        return lambda c: np.asarray(c) @ np.asarray(colorlib.XYZ_TO_RGB).T
+    if color_space == "LAB":
+        import jax.numpy as _j
+        return lambda c: np.asarray(colorlib.lab_to_rgb(np.asarray(c, np.float64)))
+    return lambda c: np.asarray(c, dtype=np.float64)
+
+
+def _area_light_points(corner, uvec, vvec, usteps, vsteps):
+    """Deterministic area-light sample cache (light.c:154-191, jitter=false):
+    CMJ point scaled by (usteps, vsteps), then corner + u*uvec + v*vvec."""
+    pts = cmj_points_static(usteps, vsteps)   # (S,2), get_point order
+    u = pts[:, 0] * usteps
+    v = pts[:, 1] * vsteps
+    return corner[None] + u[:, None] * uvec[None] + v[:, None] * vvec[None]
+
+
+def _circle_light_points(origin, normal, radius, usteps, vsteps):
+    """Deterministic circle-light cache (light.c:100-135): CMJ point ->
+    uniform disc sample in the plane perpendicular to `normal`."""
+    pts = cmj_points_static(usteps, vsteps)
+    return origin[None] + _points_on_circle(pts, normal, radius)
+
+
+def _points_on_circle(pts, normal, radius):
+    """sampler_circle: uniform disc sample (theta = 2*pi*r1, r = sqrt(r2)*R ->
+    (r cos, 0, r sin)) mapped as x*nb + z*nt (sampler.c:8-20, 116-139)."""
+    theta = 2.0 * math.pi * pts[:, 0]
+    r = radius * np.sqrt(pts[:, 1])
+    sx = r * np.cos(theta)
+    sz = r * np.sin(theta)
+    nt, nb = _coordinate_system(normal)
+    return sx[:, None] * nb[None] + sz[:, None] * nt[None]
+
+
+def _coordinate_system(n):
+    """Tangent frame (create_coordinate_system, sampler.c:66-85): the C code
+    *multiplies* by the sqrt factor then normalizes (the scale cancels) and
+    negates nt; nb = cross(n, nt)."""
+    if abs(n[0]) > abs(n[1]):
+        nt = -np.asarray([n[2], 0.0, -n[0]]) / math.sqrt(n[0] ** 2 + n[2] ** 2)
+    else:
+        nt = -np.asarray([0.0, -n[2], n[1]]) / math.sqrt(n[1] ** 2 + n[2] ** 2)
+    nb = np.cross(n, nt)
+    return nt, nb

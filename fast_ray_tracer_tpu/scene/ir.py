@@ -1,0 +1,156 @@
+"""SceneIR — the flat, SoA, device-resident scene representation.
+
+The reference walks a pointer-based shape tree with per-shape function
+pointers and per-thread deep copies (src/shapes/shapes.h:85-118,
+src/renderer/world.c:35-111). Here the whole scene is a pytree of dense
+arrays: one block of analytic primitives grouped by type, one triangle-mesh
+block with world-space pre-transformed vertices, plus materials / patterns /
+textures / lights tables. Group transform chains are pre-composed into each
+leaf's world->object inverse at compile time (valid because world_to_object
+is just the product of the parent chain, src/shapes/shapes.c:116-131), so
+no tree remains to traverse — intersection is a flat batched computation.
+
+All float leaves are differentiable parameters: pixel gradients flow to
+material tables, light intensities and the (inverse) transforms themselves.
+
+Static (non-leaf) metadata lives in `SceneMeta` as the pytree aux data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# analytic primitive type ids (block-contiguous in the tables)
+SPHERE, PLANE, CUBE, CYLINDER, CONE, TOROID = range(6)
+ANALYTIC_TYPE_NAMES = ["sphere", "plane", "cube", "cylinder", "cone", "toroid"]
+# per-type max intersection count (src/shapes/*: xs scratch sizes)
+TYPE_MAX_HITS = {SPHERE: 2, PLANE: 1, CUBE: 2, CYLINDER: 4, CONE: 4, TOROID: 4}
+
+# pattern type ids
+(PAT_CHECKER, PAT_GRADIENT, PAT_RADIAL_GRADIENT, PAT_RING, PAT_STRIPE,
+ PAT_BLENDED, PAT_NESTED, PAT_PERTURBED, PAT_MAP,
+ PAT_UV_CHECKER, PAT_UV_ALIGN_CHECK, PAT_UV_TEXTURE,
+ PAT_UV_GRADIENT, PAT_UV_RADIAL_GRADIENT) = range(14)
+
+# uv map kinds (reference: enum uv_map_type usage in pattern.c:309-488)
+(MAP_CUBE, MAP_CYLINDER, MAP_PLANE, MAP_SPHERE, MAP_TOROID, MAP_TRIANGLE) = range(6)
+
+# light type ids
+LIGHT_POINT, LIGHT_AREA, LIGHT_CIRCLE, LIGHT_HEMISPHERE = range(4)
+
+# material map slots (order of mat_map columns)
+MAP_SLOTS = ["map_Ka", "map_Kd", "map_Ks", "map_Ns", "map_d",
+             "map_bump", "map_disp", "map_refl"]
+SLOT_KA, SLOT_KD, SLOT_KS, SLOT_NS, SLOT_D, SLOT_BUMP, SLOT_DISP, SLOT_REFL = range(8)
+
+
+@dataclass(frozen=True)
+class SceneMeta:
+    """Static scene structure (hashable; becomes jit-static aux data)."""
+    n_analytic: int = 0
+    n_triangles: int = 0
+    n_materials: int = 0
+    n_patterns: int = 0
+    n_lights: int = 0
+    # per-type (start, count) into the analytic block
+    type_ranges: Tuple[Tuple[int, int, int], ...] = ()   # (type_id, start, count)
+    # per-light static info: (type_id, usteps, vsteps, jitter, num_samples)
+    light_info: Tuple[Tuple[int, int, int, bool, int], ...] = ()
+    max_light_samples: int = 1
+    # shading flags (from config + material scan)
+    has_reflective: bool = False
+    has_refractive: bool = False
+    needs_hit_sort: bool = False      # refraction containers need sorted hits
+    max_hits: int = 8                 # K for the sorted hit list
+    # pattern slots present anywhere (skip pattern machinery when unused)
+    any_patterns: bool = False
+    any_bump: bool = False
+    # csg
+    n_csg_nodes: int = 0
+    csg_info: Tuple[Tuple[int, int, int], ...] = ()  # (op, depth, parent) per node
+    has_csg: bool = False
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SceneIR:
+    meta: SceneMeta
+
+    # --- analytic primitives (Na) ---
+    inv_tf: Any = None          # (Na,4,4) world->object
+    prim_params: Any = None     # (Na,4): cyl/cone [min,max,closed,_], toroid [r1,r2,_,_]
+    material_id: Any = None     # (Na,) i32
+    csg_leaf: Any = None        # (Na,) i32: csg node id or -1
+    csg_side: Any = None        # (Na,) i32 bitmask: membership path (bit k: right child at depth k)
+
+    # --- triangles (Nt), world space ---
+    tri_p1: Any = None          # (Nt,3)
+    tri_e1: Any = None
+    tri_e2: Any = None
+    tri_n1: Any = None          # unnormalized world-space vertex normals
+    tri_n2: Any = None
+    tri_n3: Any = None
+    tri_t1: Any = None          # (Nt,2) texture coords
+    tri_t2: Any = None
+    tri_t3: Any = None
+    tri_use_tex: Any = None     # (Nt,) bool
+    tri_material_id: Any = None # (Nt,) i32
+    tri_csg_leaf: Any = None
+    tri_csg_side: Any = None
+
+    # --- materials (M) ---
+    mat_Ka: Any = None          # (M,3) linear
+    mat_Kd: Any = None
+    mat_Ks: Any = None
+    mat_Tf: Any = None
+    mat_refl: Any = None
+    mat_Ns: Any = None          # (M,)
+    mat_Ni: Any = None
+    mat_Tr: Any = None
+    mat_reflective: Any = None  # (M,) bool
+    mat_casts_shadow: Any = None
+    mat_map: Any = None         # (M,8) i32 pattern ids, -1 = none
+
+    # --- patterns (P) ---
+    pat_type: Any = None        # (P,) i32
+    pat_inv_tf: Any = None      # (P,4,4)
+    pat_colors: Any = None      # (P,5,3)
+    pat_params: Any = None      # (P,6)
+    pat_children: Any = None    # (P,6) i32 children / map faces
+    pat_map_kind: Any = None    # (P,) i32
+    pat_tex: Any = None         # (P,) i32
+
+    # --- texture atlas ---
+    tex_data: Any = None        # (sum(w*h), 3)
+    tex_offset: Any = None      # (T,) i32
+    tex_width: Any = None
+    tex_height: Any = None
+
+    # --- lights (L) ---
+    light_intensity: Any = None  # (L,3)
+    light_pos: Any = None        # (L,3)
+    light_uvec: Any = None       # (L,3) per-step u vector
+    light_vvec: Any = None
+    light_normal: Any = None     # (L,3)
+    light_radius: Any = None     # (L,)
+    light_points: Any = None     # (L,S_max,3) deterministic surface point cache
+    light_mask: Any = None       # (L,S_max)
+
+    def tree_flatten(self):
+        leaves = tuple(getattr(self, f.name) for f in fields(self)
+                       if f.name != "meta")
+        return leaves, self.meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, leaves):
+        names = [f.name for f in fields(cls) if f.name != "meta"]
+        return cls(meta, **dict(zip(names, leaves)))
+
+    # convenience
+    @property
+    def n_prims(self):
+        return self.meta.n_analytic + self.meta.n_triangles
