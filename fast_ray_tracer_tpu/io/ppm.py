@@ -105,8 +105,18 @@ def _write_png16(rgb16: np.ndarray, path: str) -> None:
 
 def read_png(path: str, decode=None) -> np.ndarray:
     """Load a PNG to (H, W, 3) float64 in [0,1]; `decode` pre-applies the
-    canvas color_space_fn (valid for super_sample=false canvases)."""
+    canvas color_space_fn (valid for super_sample=false canvases).
+
+    16-bit-per-channel RGB (what write_png emits) is parsed natively —
+    Pillow silently truncates RGB;16B to 8 bits."""
     from PIL import Image
+
+    with open(path, "rb") as f:
+        head = f.read(33)
+    if len(head) >= 26 and head[:8] == b"\x89PNG\r\n\x1a\n" and \
+            head[24] == 16 and head[25] == 2:
+        c = _read_png16_rgb(path)
+        return decode(c) if decode is not None else c
 
     img = Image.open(path)
     if img.mode in ("P", "PA"):
@@ -125,6 +135,69 @@ def read_png(path: str, decode=None) -> np.ndarray:
     if decode is not None:
         c = decode(c)
     return c
+
+
+def _read_png16_rgb(path: str) -> np.ndarray:
+    """Decode a non-interlaced 16-bit RGB PNG (all five filter types)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if depth != 16 or ctype != 2 or interlace != 0:
+                raise ValueError("not a plain 16-bit RGB PNG")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    bpp = 6
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1:off + 1 + stride], np.uint8).copy()
+        off += 1 + stride
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:    # up
+            rec = (line.astype(np.int32) + prev) % 256
+        else:               # sub/average/paeth need sequential recon
+            rec = np.zeros(stride, np.int32)
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                c = pv[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                rec[i] = (li[i] + pred) % 256
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    arr = out.reshape(h, w, 3, 2)
+    vals = arr[..., 0].astype(np.uint16) * 256 + arr[..., 1]
+    return vals.astype(np.float64) / 65535.0
 
 
 def read_ppm(path: str, decode=None) -> np.ndarray:

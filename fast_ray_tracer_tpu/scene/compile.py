@@ -410,6 +410,23 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         and cfg.include_specular
     n_hit_slots = int(sum(IR.TYPE_MAX_HITS[t] * c for t, _, c in type_ranges)) + nt
 
+    # static pattern structure for evaluator pruning
+    pattern_kinds = tuple(sorted({int(t) for t in pat_type}))
+    combinators = {IR.PAT_BLENDED, IR.PAT_NESTED, IR.PAT_PERTURBED}
+
+    def _depth(pid):
+        row = tables.p_rows[pid]
+        if row["type"] not in combinators:
+            return 0
+        kids = [k for k in row["children"] if k >= 0]
+        return 1 + max((_depth(int(k)) for k in kids), default=0)
+
+    pattern_depth = max((_depth(i) for i in range(P)
+                         if tables.p_rows[i]["type"] in combinators),
+                        default=0)
+    max_octaves = int(max((r["params"][3] for r in tables.p_rows
+                           if r["type"] == IR.PAT_PERTURBED), default=0))
+
     meta = SceneMeta(
         n_analytic=len(a_type), n_triangles=nt, n_materials=M, n_patterns=P,
         n_lights=L, type_ranges=tuple(type_ranges),
@@ -419,6 +436,11 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         max_hits=min(16, max(2, n_hit_slots)),
         any_patterns=bool((mat_map >= 0).any()),
         any_bump=bool((mat_map[:, IR.SLOT_BUMP] >= 0).any()),
+        pattern_kinds=pattern_kinds,
+        map_kinds=tuple(sorted({int(r["map_kind"]) for r in tables.p_rows
+                                if r["type"] == IR.PAT_MAP})),
+        pattern_depth=pattern_depth,
+        max_perlin_octaves=max_octaves,
     )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)

@@ -69,6 +69,12 @@ class SceneMeta:
     # pattern slots present anywhere (skip pattern machinery when unused)
     any_patterns: bool = False
     any_bump: bool = False
+    # pattern type ids present in the scene: lets the evaluator prune whole
+    # sub-graphs (combinator recursion, perlin unrolls, texture gathers)
+    pattern_kinds: Tuple[int, ...] = ()
+    map_kinds: Tuple[int, ...] = ()  # uv-map projections present
+    pattern_depth: int = 0          # max combinator nesting depth present
+    max_perlin_octaves: int = 0
     # csg
     n_csg_nodes: int = 0
     csg_info: Tuple[Tuple[int, int, int], ...] = ()  # (op, depth, parent) per node

@@ -13,6 +13,9 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# the axon TPU plugin force-sets jax_platforms at sitecustomize time;
+# override it after import for CPU-hosted tests
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pathlib

@@ -1,0 +1,60 @@
+"""Golden-image parity tests vs the reference binary's PPM output.
+
+Goldens are produced by .baseline/make_goldens.sh from the reference
+build (gitignored; tests skip when absent). Deterministic configs must be
+byte-identical; stochastic ones compare statistically."""
+
+import pathlib
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import GOLDEN, REFERENCE
+
+from fast_ray_tracer_tpu.io.ppm import construct_ppm
+from fast_ray_tracer_tpu.render.render import render_scene
+from fast_ray_tracer_tpu.scene.yaml_loader import load_scene
+
+
+def _render_ppm(scene_yml, **kw):
+    sc = load_scene(str(scene_yml))
+    canvas = render_scene(sc, dtype=jnp.float64, **kw)
+    return construct_ppm(canvas, use_scaling=True)
+
+
+def _golden(name):
+    p = GOLDEN / f"{name}.ppm"
+    if not p.exists():
+        pytest.skip(f"golden {name}.ppm not generated")
+    return p.read_bytes()
+
+
+def _decode(ppm_bytes):
+    i = ppm_bytes.index(b"65535") + 6
+    header = ppm_bytes[:i].split()
+    w, h = int(header[1]), int(header[2])
+    return np.frombuffer(ppm_bytes[i:i + w * h * 6],
+                         dtype=">u2").astype(np.int64).reshape(h, w, 3)
+
+
+def test_checkered_sphere_bitwise():
+    golden = _golden("checkered_sphere")
+    ours = _render_ppm(
+        REFERENCE / "scenes/checkered_sphere/checkered_sphere.yml",
+        chunk_pixels=40000)
+    assert ours == golden
+
+
+@pytest.mark.slow
+def test_reflect_refract_bitwise():
+    golden = _golden("reflect_refract")
+    ours = _render_ppm(
+        REFERENCE / "scenes/reflect_refract/reflect_refract.yml",
+        chunk_pixels=20000)
+    if ours == golden:
+        return
+    a, g = _decode(ours), _decode(golden)
+    d = np.abs(a - g)
+    # f64 CPU path should be bit-close; allow a handful of off-by-LSB texels
+    assert (d > 257).mean() < 1e-4, (d.max(), (d > 0).mean())

@@ -1,0 +1,152 @@
+"""Ray-primitive intersection unit tests against the book's closed-form
+oracle values (the reference has no test suite; these are the canonical
+Ray-Tracer-Challenge cases its shapes implement — SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fast_ray_tracer_tpu.ops import intersect as I
+from fast_ray_tracer_tpu.scene.compile import compile_scene
+from fast_ray_tracer_tpu.scene.model import SceneDesc, ShapeDesc
+
+
+def _ir_of(*shapes):
+    return compile_scene(SceneDesc(world=list(shapes)), dtype=jnp.float64)
+
+
+def _ts(ir, origin, direction):
+    o = jnp.asarray([origin], jnp.float64)
+    d = jnp.asarray([direction], jnp.float64)
+    t = np.asarray(I.intersect_candidates(ir, o, d))[0]
+    return np.sort(t[np.isfinite(t)])
+
+
+def test_sphere_hits():
+    ir = _ir_of(ShapeDesc(kind="sphere"))
+    assert np.allclose(_ts(ir, [0, 0, -5], [0, 0, 1]), [4.0, 6.0])
+    assert np.allclose(_ts(ir, [0, 1, -5], [0, 0, 1]), [5.0, 5.0])
+    assert _ts(ir, [0, 2, -5], [0, 0, 1]).size == 0
+    assert np.allclose(_ts(ir, [0, 0, 0], [0, 0, 1]), [-1.0, 1.0])
+    assert np.allclose(_ts(ir, [0, 0, 5], [0, 0, 1]), [-6.0, -4.0])
+
+
+def test_sphere_transformed():
+    ir = _ir_of(ShapeDesc(kind="sphere", transform=[["scale", 2, 2, 2]]))
+    assert np.allclose(_ts(ir, [0, 0, -5], [0, 0, 1]), [3.0, 7.0])
+    ir = _ir_of(ShapeDesc(kind="sphere", transform=[["translate", 5, 0, 0]]))
+    assert _ts(ir, [0, 0, -5], [0, 0, 1]).size == 0
+
+
+def test_plane():
+    ir = _ir_of(ShapeDesc(kind="plane"))
+    assert _ts(ir, [0, 10, 0], [0, 0, 1]).size == 0   # parallel
+    assert np.allclose(_ts(ir, [0, 1, 0], [0, -1, 0]), [1.0])
+    assert np.allclose(_ts(ir, [0, -1, 0], [0, 1, 0]), [1.0])
+
+
+def test_cube():
+    ir = _ir_of(ShapeDesc(kind="cube"))
+    cases = [
+        ([5, 0.5, 0], [-1, 0, 0], 4, 6),
+        ([-5, 0.5, 0], [1, 0, 0], 4, 6),
+        ([0.5, 5, 0], [0, -1, 0], 4, 6),
+        ([0.5, -5, 0], [0, 1, 0], 4, 6),
+        ([0.5, 0, 5], [0, 0, -1], 4, 6),
+        ([0.5, 0, -5], [0, 0, 1], 4, 6),
+        ([0, 0.5, 0], [0, 0, 1], -1, 1),
+    ]
+    for o, d, t1, t2 in cases:
+        assert np.allclose(_ts(ir, o, d), [t1, t2]), (o, d)
+    for o, d in [([-2, 0, 0], [0.2673, 0.5345, 0.8018]),
+                 ([2, 2, 0], [-1, 0, 0])]:
+        assert _ts(ir, o, d).size == 0
+
+
+def test_cylinder():
+    ir = _ir_of(ShapeDesc(kind="cylinder"))
+    assert _ts(ir, [1, 0, 0], [0, 1, 0]).size == 0
+    assert np.allclose(_ts(ir, [1, 0, -5], [0, 0, 1]), [5.0, 5.0])
+    assert np.allclose(_ts(ir, [0, 0, -5], [0, 0, 1]), [4.0, 6.0])
+    ts = _ts(ir, [0.5, 0, -5],
+             np.asarray([0.1, 1, 1]) / np.linalg.norm([0.1, 1, 1]))
+    assert np.allclose(ts, [6.80798, 7.08872], atol=1e-4)
+
+
+def test_cylinder_truncated_closed():
+    ir = _ir_of(ShapeDesc(kind="cylinder", minimum=1.0, maximum=2.0))
+    d = np.asarray([0.1, 1, 0]) / np.linalg.norm([0.1, 1, 0])
+    assert _ts(ir, [0, 1.5, 0], d).size == 0
+    assert _ts(ir, [0, 3, -5], [0, 0, 1]).size == 0
+    assert _ts(ir, [0, 1.5, -2], [0, 0, 1]).size == 2
+    irc = _ir_of(ShapeDesc(kind="cylinder", minimum=1.0, maximum=2.0,
+                           closed=True))
+    assert _ts(irc, [0, 3, 0], [0, -1, 0]).size == 2
+    assert _ts(irc, [0, 0, -2], np.asarray([0, 1, 2]) / np.sqrt(5)).size == 2
+
+
+def test_cone():
+    ir = _ir_of(ShapeDesc(kind="cone"))
+    assert np.allclose(_ts(ir, [0, 0, -5], [0, 0, 1]), [5.0, 5.0])
+    d = np.asarray([1.0, 1, 1]) / np.sqrt(3)
+    assert np.allclose(_ts(ir, [0, 0, -5], d), [8.66025], atol=1e-4)
+    d = np.asarray([-0.5, -1, 1]) / np.linalg.norm([-0.5, -1, 1])
+    assert np.allclose(_ts(ir, [1, 1, -5], d), [4.55006, 49.44994], atol=1e-4)
+    # parallel to one half: single hit
+    d = np.asarray([0.0, 1, 1]) / np.sqrt(2)
+    assert np.allclose(_ts(ir, [0, 0, -1], d), [0.35355], atol=1e-4)
+
+
+def test_cone_capped():
+    ir = _ir_of(ShapeDesc(kind="cone", minimum=-0.5, maximum=0.5,
+                          closed=True))
+    assert _ts(ir, [0, 0, -5], [0, 1, 0]).size == 0
+    d = np.asarray([0.0, 1, 1]) / np.sqrt(2)
+    assert _ts(ir, [0, 0, -0.25], d).size == 2
+    assert _ts(ir, [0, 0, -0.25], [0, 1, 0]).size == 4
+
+
+def test_toroid():
+    ir = _ir_of(ShapeDesc(kind="toroid", r1=1.0, r2=0.25))
+    ts = _ts(ir, [0, 0, -5], [0, 0, 1])
+    # ring torus centered at origin in xz: hits at z = -1.25,-0.75,0.75,1.25
+    assert np.allclose(ts, [3.75, 4.25, 5.75, 6.25], atol=1e-6)
+    assert _ts(ir, [0, 5, 0], [0, 1, 0]).size == 0
+
+
+def test_triangle():
+    tri = ShapeDesc(kind="triangle", p1=(0, 1, 0), p2=(-1, 0, 0),
+                    p3=(1, 0, 0))
+    ir = _ir_of(tri)
+    assert np.allclose(_ts(ir, [0, 0.5, -2], [0, 0, 1]), [2.0])
+    assert _ts(ir, [0, -1, -2], [0, 1, 0]).size == 0   # parallel
+    assert _ts(ir, [1, 1, -2], [0, 0, 1]).size == 0    # misses p1-p3 edge
+    assert _ts(ir, [-1, 1, -2], [0, 0, 1]).size == 0
+    assert _ts(ir, [0, -1, -2], [0, 0, 1]).size == 0
+
+
+def test_group_transform_composition():
+    # book ch.14 "Intersecting a transformed group":
+    # group(scale(2)) > sphere(translate(5,0,0)), ray(10,0,-10)+z -> 2 hits
+    inner = ShapeDesc(kind="sphere", transform=[["translate", 5, 0, 0]])
+    g = ShapeDesc(kind="group", transform=[["scale", 2, 2, 2]],
+                  children=[inner])
+    ir = _ir_of(g)
+    ts = _ts(ir, [10, 0, -10], [0, 0, 1])
+    assert ts.size == 2
+
+
+def test_nested_group_world_to_object_equivalent():
+    # book: g1(ry(pi/2)) > g2(scale(2)) > sphere(translate(5,0,0));
+    # world point (-2, 0, -10) maps to object point (4, 0, -1) — i.e. the
+    # sphere surface is reachable along the composed chain. Check via a ray
+    # aimed at the transformed sphere center Ry(pi/2)@S(2)@(5,0,0)=(0,0,-10).
+    inner = ShapeDesc(kind="sphere", transform=[["translate", 5, 0, 0]])
+    g2 = ShapeDesc(kind="group", transform=[["scale", 2, 2, 2]],
+                   children=[inner])
+    g1 = ShapeDesc(kind="group", transform=[["rotate-y", np.pi / 2]],
+                   children=[g2])
+    ir = _ir_of(g1)
+    ts = _ts(ir, [0, 0, -20], [0, 0, 1])   # center (0,0,-10), radius 2
+    assert ts.size == 2
+    assert np.allclose(ts, [8.0, 12.0], atol=1e-9)
