@@ -301,15 +301,42 @@ def sorted_hits(t_cand, slot_prim, k: int):
     intersection — src/renderer/renderer.c:406-447 over the fully sorted xs).
     Returns (t_sorted (R,K), prim_sorted (R,K) with -1 padding)."""
     k = min(k, t_cand.shape[-1])
+    # top_k(-t) is descending in -t, i.e. already ascending in t
     neg_t, idx = jax.lax.top_k(-t_cand, k)
-    t_sorted = -neg_t[..., ::-1]
-    idx = idx[..., ::-1]
+    t_sorted = -neg_t
     prim = jnp.where(jnp.isfinite(t_sorted), jnp.asarray(slot_prim)[idx], -1)
     return t_sorted, prim
 
 
 def any_hit_within(t_cand, slot_shadow_mask, dist):
-    """Shadow test: any casts_shadow intersection with 0 < t < dist
-    (is_shadowed, src/renderer/renderer.c:73-93)."""
+    """Physically-correct shadow test: any casts_shadow intersection with
+    0 < t < dist. (Kept for the fast/PBR path; golden parity uses
+    shadow_hit_early_exit.)"""
     ok = (t_cand > 0.0) & (t_cand < dist[..., None]) & slot_shadow_mask[None]
     return jnp.any(ok, axis=-1)
+
+
+def shadow_hit_early_exit(t_cand, slot_rank, slot_shadow_mask, dist):
+    """Reference-faithful shadow test (is_shadowed, renderer.c:73-93).
+
+    The reference walks group children in post-divide array order with
+    stop_after_first_hit=true: traversal stops at the FIRST leaf (in DFS
+    order) yielding any t > 0 intersection (group.c:108-123), and only that
+    leaf's hits reach `hit(xs, /*filter_shadow_casters*/true)`. Hence a
+    non-blocking positive hit (e.g. a wall beyond the light) can mask a
+    real closer blocker. Emulation: per ray, find the minimum shadow-walk
+    rank among leaves with a positive hit; shadowed iff that leaf casts
+    shadows and its nearest positive t < light distance.
+
+    t_cand: (R,H); slot_rank: (H,) i32; slot_shadow_mask: (H,) bool;
+    dist: (R,). Returns (R,) bool.
+    """
+    tpos = jnp.where(t_cand > 0.0, t_cand, jnp.inf)
+    valid = jnp.isfinite(tpos)
+    big = jnp.iinfo(jnp.int32).max
+    rank = jnp.where(valid, slot_rank[None], big)
+    min_rank = jnp.min(rank, axis=-1)                       # (R,)
+    sel = valid & (rank == min_rank[:, None])
+    min_t = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
+    caster = jnp.any(sel & slot_shadow_mask[None], axis=-1)
+    return (min_rank < big) & caster & (min_t < dist)

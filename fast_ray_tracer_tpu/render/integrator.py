@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 from fast_ray_tracer_tpu.constants import EPSILON, SQRT3
 from fast_ray_tracer_tpu.ops.intersect import (
-    Hit, any_hit_within, closest_hit, intersect_candidates, slot_tables,
-    sorted_hits, triangle_uv_at,
+    Hit, closest_hit, intersect_candidates, shadow_hit_early_exit,
+    slot_tables, sorted_hits, triangle_uv_at,
 )
 from fast_ray_tracer_tpu.ops.patterns import ShapeCtx, build_shape_ctx, eval_pattern
 from fast_ray_tracer_tpu.render.normals import normal_at
@@ -62,6 +62,7 @@ class RenderStatics(NamedTuple):
     slot_prim: np.ndarray        # (H,) static
     prim_mat: jnp.ndarray        # (N_prims,) i32 material per global prim
     slot_shadow: jnp.ndarray     # (H,) bool casts_shadow per slot
+    slot_rank: jnp.ndarray       # (H,) i32 shadow-walk rank per slot
     prim_ni: jnp.ndarray         # (N_prims,) refractive index per prim
     cfg: ConfigDesc
 
@@ -70,9 +71,11 @@ def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
     slot_prim = slot_tables(ir.meta)
     prim_mat = jnp.concatenate([ir.material_id, ir.tri_material_id])
     slot_shadow = ir.mat_casts_shadow[prim_mat[jnp.asarray(slot_prim)]]
+    slot_rank = ir.prim_shadow_rank[jnp.asarray(slot_prim)]
     prim_ni = ir.mat_Ni[prim_mat]
     return RenderStatics(slot_prim=slot_prim, prim_mat=prim_mat,
-                         slot_shadow=slot_shadow, prim_ni=prim_ni, cfg=cfg)
+                         slot_shadow=slot_shadow, slot_rank=slot_rank,
+                         prim_ni=prim_ni, cfg=cfg)
 
 
 class Comps(NamedTuple):
@@ -231,7 +234,8 @@ def is_shadowed(ir: SceneIR, rt: RenderStatics, light_pts, p):
     o = jnp.broadcast_to(p[:, None, :], (R, S, 3)).reshape(R * S, 3)
     d = direction.reshape(R * S, 3)
     t_cand = intersect_candidates(ir, o, d)
-    shadowed = any_hit_within(t_cand, rt.slot_shadow, dist.reshape(R * S))
+    shadowed = shadow_hit_early_exit(t_cand, rt.slot_rank, rt.slot_shadow,
+                                     dist.reshape(R * S))
     return shadowed.reshape(R, S)
 
 
@@ -351,58 +355,9 @@ def intensity_at(ir: SceneIR, rt: RenderStatics, li: int, p, key):
 # shade_hit & color_at (mutually recursive, statically unrolled)
 # ---------------------------------------------------------------------------
 
-def schlick(comps: Comps):
-    """renderer.c:607-624."""
-    co = _dot(comps.eyev, comps.normalv)
-    n = comps.n1 / comps.n2
-    sin2_t = n * n * (1.0 - co * co)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-    co_eff = jnp.where(comps.n1 > comps.n2, cos_t, co)
-    r0 = ((comps.n1 - comps.n2) / (comps.n1 + comps.n2)) ** 2
-    reflectance = r0 + (1.0 - r0) * (1.0 - co_eff) ** 5
-    tir = (comps.n1 > comps.n2) & (sin2_t > 1.0)
-    return jnp.where(tir, 1.0, reflectance)
-
-
-def reflected_color(ir, rt, comps, remaining, key) -> Triple:
-    """renderer.c:497-532."""
-    R = comps.p.shape[0]
-    dtype = comps.p.dtype
-    if remaining == 0 or not ir.meta.has_reflective:
-        return Triple.zeros(R, dtype)
-    refl_flag = ir.mat_reflective[comps.mat] & comps.valid
-    c = color_at(ir, rt, comps.over_point, comps.reflectv, remaining - 1,
-                 key)
-    c = Triple(c.a * comps.over_refl, c.d * comps.over_refl,
-               c.s * comps.over_refl)
-    return c.mask(refl_flag)
-
-
-def refracted_color(ir, rt, comps, remaining, key) -> Triple:
-    """renderer.c:534-605: Snell + total internal reflection + Tf + dissolve."""
-    R = comps.p.shape[0]
-    dtype = comps.p.dtype
-    if remaining == 0 or not ir.meta.has_refractive:
-        return Triple.zeros(R, dtype)
-    active = (comps.over_d > 0.0) & comps.valid
-    n_ratio = comps.n1 / comps.n2
-    cos_i = _dot(comps.eyev, comps.normalv)
-    sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
-    active &= sin2_t <= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-    direction = comps.normalv * (n_ratio * cos_i - cos_t)[:, None] \
-        - comps.eyev * n_ratio[:, None]
-    c = color_at(ir, rt, comps.under_point, direction, remaining - 1, key)
-    tf = ir.mat_Tf[comps.mat]
-    f = tf * comps.over_d[:, None]
-    c = Triple(c.a * f, c.d * f, c.s * f)
-    return c.mask(active)
-
-
-def shade_hit(ir: SceneIR, rt: RenderStatics, comps: Comps, remaining: int,
-              key) -> Triple:
-    """renderer.c:689-827 (direct + specular; GI terms added by the photon
-    module when enabled)."""
+def shade_direct(ir: SceneIR, rt: RenderStatics, comps: Comps, key) -> Triple:
+    """The non-recursive part of shade_hit (renderer.c:689-770): direct
+    lighting per light + the photon-map GI terms."""
     cfg = rt.cfg
     R = comps.p.shape[0]
     dtype = comps.p.dtype
@@ -426,51 +381,153 @@ def shade_hit(ir: SceneIR, rt: RenderStatics, comps: Comps, remaining: int,
                 ir, rt, comps, li, light_pts, intensity)
 
     # GI (photon map) terms attach here — see render/photon.py
-    if getattr(rt.cfg, "_gi_hook", None) is not None:
-        gi_add = rt.cfg._gi_hook(ir, rt, comps, key)
+    gi_hook = getattr(rt.cfg, "_gi_hook", None)
+    if gi_hook is not None:
+        gi_add = gi_hook(ir, rt, comps, key)
         a = surface.a + gi_add
         # L1 clamp of the ambient channel (renderer.c:765-769)
         l1 = jnp.sum(a, axis=-1, keepdims=True)
         a = jnp.where(l1 > SQRT3, a * SQRT3 / l1, a)
         surface = Triple(a, surface.d, surface.s)
-
-    # note: this block runs even at remaining == 0 (children return black)
-    # because the dissolve multiply below applies regardless
-    # (renderer.c:773-822)
-    if cfg.include_specular and (ir.meta.has_reflective
-                                 or ir.meta.has_refractive):
-        kr = kt = None
-        if key is not None:
-            key, kr, kt = jax.random.split(key, 3)
-        reflected = reflected_color(ir, rt, comps, remaining, kr)
-        refracted = refracted_color(ir, rt, comps, remaining, kt)
-
-        both = ir.mat_reflective[comps.mat] & (comps.over_d < 1.0)
-        reflectance = schlick(comps)
-        rf = jnp.where(both, reflectance, 1.0)[:, None]
-        tf = jnp.where(both, 1.0 - reflectance, 1.0)[:, None]
-        reflected = Triple(reflected.a * rf, reflected.d * rf,
-                           reflected.s * rf)
-        refracted = Triple(refracted.a * tf, refracted.d * tf,
-                           refracted.s * tf)
-
-        surface = surface + reflected
-
-        # dissolve scales the accumulated surface *before* adding the
-        # refracted term (renderer.c:804-817)
-        dis = (ir.mat_Tr[comps.mat] > 0.0) & (comps.over_d > 0.0)
-        f = jnp.where(dis, 1.0 - comps.over_d, 1.0)[:, None]
-        surface = Triple(surface.a * f, surface.d * f, surface.s * f)
-
-        surface = surface + refracted
-
     return surface
+
+
+def combine_specular(ir: SceneIR, rt: RenderStatics, comps: Comps,
+                     surface: Triple, reflected_raw: Optional[Triple],
+                     refracted_raw: Optional[Triple]) -> Triple:
+    """The specular tail of shade_hit (renderer.c:772-822): scale the child
+    results by over_refl / Tf*over_d, schlick-blend, apply the dissolve
+    multiply (which runs even when children are black), and accumulate.
+
+    reflected_raw/refracted_raw are the *child color_at results* (or None at
+    the recursion leaf / when statically absent)."""
+    cfg = rt.cfg
+    R = comps.p.shape[0]
+    dtype = comps.p.dtype
+    if not cfg.include_specular or not (ir.meta.has_reflective
+                                        or ir.meta.has_refractive):
+        return surface
+
+    if reflected_raw is None or not ir.meta.has_reflective:
+        reflected = Triple.zeros(R, dtype)
+    else:
+        refl_flag = ir.mat_reflective[comps.mat] & comps.valid
+        c = Triple(reflected_raw.a * comps.over_refl,
+                   reflected_raw.d * comps.over_refl,
+                   reflected_raw.s * comps.over_refl)
+        reflected = c.mask(refl_flag)
+
+    if refracted_raw is None or not ir.meta.has_refractive:
+        refracted = Triple.zeros(R, dtype)
+    else:
+        active = refract_active(comps)
+        tf = ir.mat_Tf[comps.mat]
+        f = tf * comps.over_d[:, None]
+        c = Triple(refracted_raw.a * f, refracted_raw.d * f,
+                   refracted_raw.s * f)
+        refracted = c.mask(active)
+
+    both = ir.mat_reflective[comps.mat] & (comps.over_d < 1.0)
+    reflectance = schlick(comps)
+    rf = jnp.where(both, reflectance, 1.0)[:, None]
+    tf_ = jnp.where(both, 1.0 - reflectance, 1.0)[:, None]
+    reflected = Triple(reflected.a * rf, reflected.d * rf, reflected.s * rf)
+    refracted = Triple(refracted.a * tf_, refracted.d * tf_,
+                       refracted.s * tf_)
+
+    surface = surface + reflected
+    dis = (ir.mat_Tr[comps.mat] > 0.0) & (comps.over_d > 0.0)
+    f = jnp.where(dis, 1.0 - comps.over_d, 1.0)[:, None]
+    surface = Triple(surface.a * f, surface.d * f, surface.s * f)
+    return surface + refracted
+
+
+def refract_active(comps: Comps):
+    """Mask of lanes where refracted_color proceeds (over_d > 0, no TIR)."""
+    n_ratio = comps.n1 / comps.n2
+    cos_i = _dot(comps.eyev, comps.normalv)
+    sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+    return (comps.over_d > 0.0) & comps.valid & (sin2_t <= 1.0)
+
+
+def refract_direction(comps: Comps):
+    """Snell construction (renderer.c:560-572)."""
+    n_ratio = comps.n1 / comps.n2
+    cos_i = _dot(comps.eyev, comps.normalv)
+    sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    return comps.normalv * (n_ratio * cos_i - cos_t)[:, None] \
+        - comps.eyev * n_ratio[:, None]
+
+
+def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
+          key) -> Triple:
+    """Wavefront Whitted trace: the reference's branching recursion
+    (reflect + refract children, depth `remaining`) evaluated one *level*
+    at a time over concatenated child batches — a graph linear in depth
+    instead of the 2^depth recursion tree, same arithmetic per lane."""
+    cfg = rt.cfg
+    want_refl = cfg.include_specular and ir.meta.has_reflective and depth > 0
+    want_refr = cfg.include_specular and ir.meta.has_refractive and depth > 0
+
+    levels = []
+    cur_o, cur_d = orig, dirs
+    for lvl in range(depth + 1):
+        lkey = None if key is None else jax.random.fold_in(key, lvl)
+        t_cand = intersect_candidates(ir, cur_o, cur_d)
+        comps = prepare_computations(ir, rt, cur_o, cur_d, t_cand)
+        direct = shade_direct(ir, rt, comps, lkey)
+        levels.append((comps, direct))
+        if lvl == depth:
+            break
+        children_o, children_d = [], []
+        if want_refl:
+            children_o.append(comps.over_point)
+            children_d.append(comps.reflectv)
+        if want_refr:
+            children_o.append(comps.under_point)
+            children_d.append(refract_direction(comps))
+        if not children_o:
+            break
+        cur_o = jnp.concatenate(children_o, axis=0)
+        cur_d = jnp.concatenate(children_d, axis=0)
+
+    # combine upward
+    child_total: Optional[Triple] = None
+    for lvl in range(len(levels) - 1, -1, -1):
+        comps, direct = levels[lvl]
+        n = comps.p.shape[0]
+        refl_raw = refr_raw = None
+        if child_total is not None:
+            off = 0
+            if want_refl:
+                refl_raw = Triple(child_total.a[off:off + n],
+                                  child_total.d[off:off + n],
+                                  child_total.s[off:off + n])
+                off += n
+            if want_refr:
+                refr_raw = Triple(child_total.a[off:off + n],
+                                  child_total.d[off:off + n],
+                                  child_total.s[off:off + n])
+        total = combine_specular(ir, rt, comps, direct, refl_raw, refr_raw)
+        child_total = total.mask(comps.valid)
+    return child_total
+
+
+def schlick(comps: Comps):
+    """renderer.c:607-624."""
+    co = _dot(comps.eyev, comps.normalv)
+    n = comps.n1 / comps.n2
+    sin2_t = n * n * (1.0 - co * co)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    co_eff = jnp.where(comps.n1 > comps.n2, cos_t, co)
+    r0 = ((comps.n1 - comps.n2) / (comps.n1 + comps.n2)) ** 2
+    reflectance = r0 + (1.0 - r0) * (1.0 - co_eff) ** 5
+    tir = (comps.n1 > comps.n2) & (sin2_t > 1.0)
+    return jnp.where(tir, 1.0, reflectance)
 
 
 def color_at(ir: SceneIR, rt: RenderStatics, orig, dirs, remaining: int,
              key) -> Triple:
-    """renderer.c:347-366, for a ray batch."""
-    t_cand = intersect_candidates(ir, orig, dirs)
-    comps = prepare_computations(ir, rt, orig, dirs, t_cand)
-    triple = shade_hit(ir, rt, comps, remaining, key)
-    return triple.mask(comps.valid)
+    """renderer.c:347-366 for a ray batch (wavefront implementation)."""
+    return trace(ir, rt, orig, dirs, remaining, key)

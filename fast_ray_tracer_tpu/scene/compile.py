@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from fast_ray_tracer_tpu import colors as colorlib
 from fast_ray_tracer_tpu.sampling.cmj import cmj_points_static
+from fast_ray_tracer_tpu.scene import divide as div
 from fast_ray_tracer_tpu.scene import ir as IR
 from fast_ray_tracer_tpu.scene.ir import SceneIR, SceneMeta
 from fast_ray_tracer_tpu.scene.model import (
@@ -101,8 +102,11 @@ class _Tables:
         self.a_params: List[List[float]] = []
         self.a_mat: List[int] = []
         self.a_csg: List[Tuple[int, int]] = []
+        self.a_doc: List[int] = []        # document-order leaf id per prim
         # triangles
         self.t_rows: List[Tuple] = []     # (p1,p2,p3,n1,n2,n3,t1,t2,t3,use_tex,mat,csg,side)
+        self.t_doc: List[int] = []
+        self.next_leaf = 0                # shared doc-order leaf counter
         # materials
         self.m_rows: List[Dict] = []
         # patterns
@@ -200,19 +204,27 @@ class _Tables:
 
 
 def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
-          csg_id: int, csg_side: int, inherited_mat: Optional[int]) -> None:
-    """Dissolve the shape tree into flat leaf rows."""
-    m_world = parent_m @ compose_chain(shape.transform)
+          csg_id: int, csg_side: int, inherited_mat: Optional[int],
+          nodes: List[div.Node]) -> None:
+    """Dissolve the shape tree into flat leaf rows. `nodes` is the parent's
+    children list in the divide-simulation tree (local transforms only),
+    used to recover the post-divide shadow-walk leaf ordering."""
+    m_local = compose_chain(shape.transform)
+    m_world = parent_m @ m_local
+    m_flat = m_local.ravel().tolist()
 
     if shape.kind == "group":
+        node = div.Node(kind="group", transform=m_flat)
+        nodes.append(node)
         for child in shape.children:
-            _walk(child, m_world, tables, csg_id, csg_side, inherited_mat)
+            _walk(child, m_world, tables, csg_id, csg_side, inherited_mat,
+                  node.children)
         return
     if shape.kind == "csg":
         raise NotImplementedError("CSG compiled in compile_csg pass")  # set below
     if shape.kind == "obj":
         from fast_ray_tracer_tpu.scene.obj_loader import load_obj_into
-        load_obj_into(shape, m_world, tables, csg_id, csg_side)
+        load_obj_into(shape, m_world, tables, csg_id, csg_side, nodes, m_flat)
         return
 
     mat_id = (tables.add_material(shape.material)
@@ -245,6 +257,12 @@ def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
         t3 = shape.t3[:2] if use_tex else (0.0, 0.0)
         tables.t_rows.append((p1, p2 - p1, p3 - p1, n1, n2, n3,
                               t1, t2, t3, use_tex, mat_id, csg_id, csg_side))
+        tables.t_doc.append(tables.next_leaf)
+        nodes.append(div.Node(
+            kind="triangle", transform=m_flat, leaf_id=tables.next_leaf,
+            obj_box=div.leaf_box("triangle",
+                                 points=[shape.p1, shape.p2, shape.p3])))
+        tables.next_leaf += 1
         return
 
     typ = _KIND_TO_TYPE[shape.kind]
@@ -258,15 +276,28 @@ def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
     tables.a_params.append(params)
     tables.a_mat.append(mat_id)
     tables.a_csg.append((csg_id, csg_side))
+    tables.a_doc.append(tables.next_leaf)
+    nodes.append(div.Node(
+        kind=shape.kind, transform=m_flat, leaf_id=tables.next_leaf,
+        obj_box=div.leaf_box(shape.kind, minimum=shape.minimum,
+                             maximum=shape.maximum, r1=shape.r1, r2=shape.r2)))
+    tables.next_leaf += 1
 
 
 def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     decode = _np_decode(scene.config.color_space)
     tables = _Tables(decode, scene.root_dir)
 
+    root = div.Node(kind="group", transform=list(div.IDENTITY))
     for shape in scene.world:
         _walk(shape, np.eye(4), tables, csg_id=-1, csg_side=0,
-              inherited_mat=None)
+              inherited_mat=None, nodes=root.children)
+
+    # post-divide DFS leaf order -> shadow-walk rank per document leaf
+    doc_rank = np.asarray(
+        div.shadow_ranks(root, scene.config.divide_threshold,
+                         tables.next_leaf),
+        dtype=np.int64) if tables.next_leaf else np.zeros(0, np.int64)
 
     # ---- analytic block, grouped by type ----
     order = np.argsort(np.asarray(tables.a_type, dtype=np.int64), kind="stable") \
@@ -281,6 +312,8 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     a_csg = (np.asarray([c for c, _ in tables.a_csg], dtype=np.int64)[order]
              if len(order) else np.zeros(0, np.int64))
     a_side = (np.asarray([s for _, s in tables.a_csg], dtype=np.int64)[order]
+              if len(order) else np.zeros(0, np.int64))
+    a_rank = (doc_rank[np.asarray(tables.a_doc, dtype=np.int64)][order]
               if len(order) else np.zeros(0, np.int64))
 
     type_ranges = []
@@ -305,6 +338,8 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     tri_csg = (np.asarray([r[11] for r in tables.t_rows], dtype=np.int64)
                if nt else np.zeros(0, np.int64))
     tri_side = (np.asarray([r[12] for r in tables.t_rows], dtype=np.int64)
+                if nt else np.zeros(0, np.int64))
+    tri_rank = (doc_rank[np.asarray(tables.t_doc, dtype=np.int64)]
                 if nt else np.zeros(0, np.int64))
 
     # ---- materials ----
@@ -433,7 +468,9 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         light_info=tuple(light_info), max_light_samples=s_max,
         has_reflective=has_refl, has_refractive=has_refr,
         needs_hit_sort=has_refr,
-        max_hits=min(16, max(2, n_hit_slots)),
+        # the containers walk needs every intersection (negative t included);
+        # truncation silently corrupts n1/n2, so only cap for huge scenes
+        max_hits=min(64, max(2, n_hit_slots)),
         any_patterns=bool((mat_map >= 0).any()),
         any_bump=bool((mat_map[:, IR.SLOT_BUMP] >= 0).any()),
         pattern_kinds=pattern_kinds,
@@ -449,6 +486,7 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         meta=meta,
         inv_tf=f(inv), prim_params=f(params), material_id=i32(a_mat),
         csg_leaf=i32(a_csg), csg_side=i32(a_side),
+        prim_shadow_rank=i32(np.concatenate([a_rank, tri_rank])),
         tri_p1=f(tri_p1), tri_e1=f(tri_e1), tri_e2=f(tri_e2),
         tri_n1=f(tri_n1), tri_n2=f(tri_n2), tri_n3=f(tri_n3),
         tri_t1=f(tri_t1), tri_t2=f(tri_t2), tri_t3=f(tri_t3),

@@ -92,6 +92,8 @@ class SceneIR:
     material_id: Any = None     # (Na,) i32
     csg_leaf: Any = None        # (Na,) i32: csg node id or -1
     csg_side: Any = None        # (Na,) i32 bitmask: membership path (bit k: right child at depth k)
+    prim_shadow_rank: Any = None  # (Na+Nt,) i32 post-divide DFS walk order
+                                  # (shadow early-exit semantics, divide.py)
 
     # --- triangles (Nt), world space ---
     tri_p1: Any = None          # (Nt,3)
