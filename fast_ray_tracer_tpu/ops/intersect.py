@@ -57,7 +57,9 @@ def _sphere_t(o, d):
     c = jnp.sum(o * o, axis=-1) - 1.0
     disc = b * b - 4.0 * a * c
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where grad guard: sqrt'(0)=inf at tangent hits / misses
+    pos = disc > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     inv2a = 1.0 / (2.0 * a)
     t0 = (-b - sq) * inv2a
     t1 = (-b + sq) * inv2a
@@ -105,7 +107,8 @@ def _cylinder_t(o, d, params):
     a_ok = jnp.abs(a) >= EPSILON       # equal(a, 0) test
     disc = b * b - 4.0 * a * c
     ok = a_ok & (disc >= 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    pos = disc > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     safe_a = jnp.where(a_ok, a, 1.0)
     t0 = (-b - sq) / (2.0 * safe_a)
     t1 = (-b + sq) / (2.0 * safe_a)
@@ -150,7 +153,8 @@ def _cone_t(o, d, params):
 
     disc = b * b - 4.0 * a * c
     ok = ~a_zero & (disc >= 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    pos = disc > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     safe_a = jnp.where(a_zero, 1.0, a)
     t0 = (-b - sq) / (2.0 * safe_a)
     t1 = (-b + sq) / (2.0 * safe_a)

@@ -1,0 +1,80 @@
+"""Differentiable training step: inverse rendering over scene parameters.
+
+New capability vs the reference (which is forward-only): pixel-loss
+gradients flow to every continuous scene parameter — material tables
+(Ka/Kd/Ks/Tf/refl/Ns/Ni/Tr), light intensities and positions, pattern
+colors and transforms, primitive inverse transforms, triangle vertices,
+texture texels. Discrete structure (hit selection, type ids, shadow ranks)
+is non-differentiable by construction (integer leaves / where-selects), so
+no stop_gradient bookkeeping is needed.
+
+The step is data-parallel over pixels (parallel/mesh.py): with sharded
+pixel batches and a replicated SceneIR, jit/GSPMD inserts the gradient
+all-reduce automatically — the TPU-native analog of the reference's "merge
+rows into one canvas" join, except it is the *backward* pass that
+communicates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast_ray_tracer_tpu.render.render import pixel_colors
+from fast_ray_tracer_tpu.scene.ir import SceneIR
+
+
+def split_params(ir: SceneIR) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Partition SceneIR leaves into (differentiable float params, static
+    integer/bool structure)."""
+    params, static = {}, {}
+    leaves, meta = ir.tree_flatten()
+    from dataclasses import fields
+    names = [f.name for f in fields(SceneIR) if f.name != "meta"]
+    for name, leaf in zip(names, leaves):
+        if leaf is not None and jnp.issubdtype(jnp.asarray(leaf).dtype,
+                                               jnp.floating):
+            params[name] = leaf
+        else:
+            static[name] = leaf
+    return params, {"fields": static, "meta": meta}
+
+
+def merge_params(params: Dict[str, Any], static) -> SceneIR:
+    return SceneIR(meta=static["meta"], **static["fields"], **params)
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_state: Any
+
+
+def make_train_step(rt, cam_rt, static, n_samples: int, path_length: int,
+                    optimizer=None):
+    """Build a jittable (state, px_r, py_r, uv_r, ap, target) -> (state,
+    loss) step. `target`: (n_pixels, 3) reference canvas chunk."""
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    def loss_fn(params, px_r, py_r, uv_r, ap, target, key):
+        ir = merge_params(params, static)
+        img = pixel_colors(ir, rt, cam_rt, px_r, py_r, uv_r, ap,
+                           n_samples, path_length, key)
+        return jnp.mean((img - target) ** 2)
+
+    def step(state: TrainState, px_r, py_r, uv_r, ap, target, key=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, px_r, py_r, uv_r, ap, target, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state), loss
+
+    def init(params) -> TrainState:
+        return TrainState(params, optimizer.init(params))
+
+    return init, step

@@ -107,7 +107,11 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-30)
+    # sqrt(clip(sum sq)) instead of norm().clip(): norm's sqrt'(0)=inf
+    # poisons gradients of masked zero-vector lanes; the floor must be
+    # representable in the working dtype (1e-60 underflows f32 to 0)
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v / jnp.sqrt(n2.clip(jnp.finfo(v.dtype).tiny))
 
 
 def refraction_indices(t_sorted, prim_sorted, t_hit, prim_ni):
@@ -315,10 +319,22 @@ def lighting_microfacet(ir: SceneIR, rt: RenderStatics, comps: Comps,
             h = _normalize(lightv + eyev[:, None, :])
             ndoth = jnp.maximum(0.0, _dot(n[:, None, :], h))
             edoth = _dot(eyev[:, None, :], h)
-            edoth_inv = 1.0 / jnp.maximum(edoth, 1e-30)
+            # reference: 1/fmax(0, edoth) (renderer.c:953) — inf allowed,
+            # saturated away by the fmin below. A raw reciprocal backward
+            # overflows (1/x^2) in f32, so saturate explicitly; C fmin
+            # ignores NaN (picks 1.0) where jnp.minimum would propagate it,
+            # and this formulation reproduces the fmin outcome.
+            e_pos = edoth > 1e-8
+            edoth_inv = jnp.where(
+                e_pos, 1.0 / jnp.where(e_pos, edoth, 1.0), 1e30)
             ldoth = _dot(lightv, h)
             Ns = comps.over_Ns[:, None]
-            D = (Ns + 2.0) * jnp.power(ndoth, Ns) * (0.5 / jnp.pi)
+            # pow(0, Ns) = 0 but d/dNs pow(0, Ns) = 0^Ns*log 0 = NaN;
+            # guard keeps the forward value bit-identical
+            pos = ndoth > 0.0
+            pw = jnp.where(pos, jnp.power(jnp.where(pos, ndoth, 1.0), Ns),
+                           0.0)
+            D = (Ns + 2.0) * pw * (0.5 / jnp.pi)
             gc = 2.0 * ndoth * edoth_inv
             G = jnp.minimum(1.0, jnp.minimum(gc * ndote[:, None],
                                              gc * ldotn))
@@ -455,7 +471,10 @@ def refract_direction(comps: Comps):
     n_ratio = comps.n1 / comps.n2
     cos_i = _dot(comps.eyev, comps.normalv)
     sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    inner = sin2_t < 1.0
+    cos_t = jnp.where(
+        inner, jnp.sqrt(jnp.where(inner, jnp.maximum(1.0 - sin2_t, 0.0),
+                                  1.0)), 0.0)
     return comps.normalv * (n_ratio * cos_i - cos_t)[:, None] \
         - comps.eyev * n_ratio[:, None]
 
@@ -519,7 +538,12 @@ def schlick(comps: Comps):
     co = _dot(comps.eyev, comps.normalv)
     n = comps.n1 / comps.n2
     sin2_t = n * n * (1.0 - co * co)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # double-where: sqrt'(0) = inf would poison gradients at grazing /
+    # TIR-boundary lanes (sin2_t >= 1); forward values are unchanged
+    inner = sin2_t < 1.0
+    cos_t = jnp.where(
+        inner, jnp.sqrt(jnp.where(inner, jnp.maximum(1.0 - sin2_t, 0.0),
+                                  1.0)), 0.0)
     co_eff = jnp.where(comps.n1 > comps.n2, cos_t, co)
     r0 = ((comps.n1 - comps.n2) / (comps.n1 + comps.n2)) ** 2
     reflectance = r0 + (1.0 - r0) * (1.0 - co_eff) ** 5

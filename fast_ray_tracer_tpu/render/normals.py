@@ -51,7 +51,8 @@ def _local_normal(stype, params, p):
                     jnp.where(((dist < 1) & (y <= mn + EPSILON))[..., None],
                               down, cyl_side))
 
-    cone_y = jnp.sqrt(dist)
+    cone_y = jnp.sqrt(jnp.where(dist > 0.0, dist, 1.0))
+    cone_y = jnp.where(dist > 0.0, cone_y, 0.0)
     cone_y = jnp.where(y > 0, -cone_y, cone_y)
     cone_side = jnp.stack([x, cone_y, z], -1)
     cone = jnp.where(((dist < 1) & (y >= mx - EPSILON))[..., None], up,
@@ -66,7 +67,7 @@ def _local_normal(stype, params, p):
         4.0 * y * (mag - p_sq + 2.0 * r1 * r1),
         4.0 * z * (mag - p_sq),
     ], -1)
-    tor = tor / jnp.linalg.norm(tor, axis=-1, keepdims=True).clip(1e-30)
+    tor = tor / jnp.sqrt(jnp.sum(tor * tor, axis=-1, keepdims=True).clip(jnp.finfo(tor.dtype).tiny))
 
     return jnp.select(
         [(stype == IR.SPHERE)[..., None], (stype == IR.PLANE)[..., None],
@@ -94,12 +95,16 @@ def normal_at(ir: SceneIR, ctx: ShapeCtx, prim, world_pt, tri_u, tri_v,
                  + tri_v[..., None] * ir.tri_n3[t_idx])
         world = jnp.where((prim >= na)[..., None], tri_n, world)
 
-    world = world / jnp.linalg.norm(world, axis=-1, keepdims=True).clip(1e-30)
+    world = world / jnp.sqrt(jnp.sum(world * world, axis=-1,
+                                     keepdims=True)
+                             .clip(jnp.finfo(world.dtype).tiny))
 
     if mat_bump_pid is not None and meta.any_bump:
         bump = eval_pattern(ir, mat_bump_pid, ctx, world_pt)
         perturbed = 2.0 * bump - 1.0
         has = (mat_bump_pid >= 0)[..., None]
         world = jnp.where(has, world + perturbed, world)
-        world = world / jnp.linalg.norm(world, axis=-1, keepdims=True).clip(1e-30)
+        world = world / jnp.sqrt(jnp.sum(world * world, axis=-1,
+                                         keepdims=True)
+                                 .clip(jnp.finfo(world.dtype).tiny))
     return world

@@ -32,6 +32,23 @@ from fast_ray_tracer_tpu.render.integrator import (
 )
 
 
+def pixel_colors(ir: SceneIR, rt, cam_rt, px_r, py_r, uv_r, ap,
+                 n_samples: int, path_length: int, key=None):
+    """Pure forward: pixel ids (+ subpixel uv, aperture offsets), repeated
+    n_samples times per pixel -> (n_pixels, 3) linear canvas colors.
+
+    This is the differentiable render core shared by render_scene and the
+    training step (parallel/train.py): per-sample color_at, per-pixel
+    average, final (A + D + S) / 3 (renderer.c:174-230)."""
+    orig, dirs = rays_for_pixels(cam_rt, px_r, py_r, uv_r, ap)
+    triple = color_at(ir, rt, orig, dirs, path_length, key)
+    n = px_r.shape[0] // n_samples
+    a = triple.a.reshape(n, n_samples, 3).mean(axis=1)
+    d = triple.d.reshape(n, n_samples, 3).mean(axis=1)
+    s = triple.s.reshape(n, n_samples, 3).mean(axis=1)
+    return (a + d + s) / 3.0
+
+
 def render_scene(scene: SceneDesc, dtype=jnp.float32,
                  chunk_pixels: int = 8192, key=None,
                  progress: bool = False) -> np.ndarray:
@@ -80,16 +97,11 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         uv_r = uv.reshape(n * S, 2)
         ap = sample_aperture(cam_rt, n * S,
                              None if ap_key is None else ap_key, dtype)
-        orig, dirs = rays_for_pixels(cam_rt, px_r, py_r, uv_r, ap)
         ray_key = None
         if chunk_key is not None:
             ray_key = jax.random.fold_in(chunk_key, 1)
-        triple = color_at(ir_in, rt, orig, dirs, path_length, ray_key)
-        # per-pixel average then (A + D + S) / 3 (renderer.c:174-230)
-        a = triple.a.reshape(n, S, 3).mean(axis=1)
-        d = triple.d.reshape(n, S, 3).mean(axis=1)
-        s = triple.s.reshape(n, S, 3).mean(axis=1)
-        return (a + d + s) / 3.0
+        return pixel_colors(ir_in, rt, cam_rt, px_r, py_r, uv_r, ap,
+                            S, path_length, ray_key)
 
     total = W * H
     xs = np.tile(np.arange(W, dtype=np.int32), H)

@@ -52,9 +52,13 @@ def test_reflect_refract_bitwise():
     ours = _render_ppm(
         REFERENCE / "scenes/reflect_refract/reflect_refract.yml",
         chunk_pixels=20000)
-    if ours == golden:
-        return
-    a, g = _decode(ours), _decode(golden)
-    d = np.abs(a - g)
-    # f64 CPU path should be bit-close; allow a handful of off-by-LSB texels
-    assert (d > 257).mean() < 1e-4, (d.max(), (d > 0).mean())
+    assert ours == golden
+
+
+@pytest.mark.slow
+def test_area_light_test_bitwise():
+    golden = _golden("area_light_test")
+    ours = _render_ppm(
+        REFERENCE / "scenes/area_light_test/area_light_test.yml",
+        chunk_pixels=20000)
+    assert ours == golden
