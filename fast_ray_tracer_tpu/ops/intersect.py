@@ -36,13 +36,15 @@ class Candidates(NamedTuple):
 
 
 def slot_tables(meta) -> np.ndarray:
-    """Static slot -> global-prim-index map (analytic blocks then triangles)."""
+    """Static slot -> global-prim-index map. Analytic blocks, plus dense
+    triangle slots only when the mesh is small (no clustering)."""
     ids = []
     for typ, start, count in meta.type_ranges:
         k = IR.TYPE_MAX_HITS[typ]
         for p in range(start, start + count):
             ids.extend([p] * k)
-    ids.extend(range(meta.n_analytic, meta.n_analytic + meta.n_triangles))
+    if not meta.use_clusters:
+        ids.extend(range(meta.n_analytic, meta.n_analytic + meta.n_triangles))
     return np.asarray(ids, dtype=np.int32)
 
 
@@ -251,6 +253,8 @@ def intersect_candidates(ir: SceneIR, orig, dirs) -> jnp.ndarray:
     Slot order matches slot_tables(meta).
     """
     meta = ir.meta
+    if meta.use_clusters and meta.n_analytic == 0 and not meta.n_triangles:
+        return jnp.full((orig.shape[0], 1), jnp.inf, orig.dtype)
     parts = []
     for typ, start, count in meta.type_ranges:
         inv = ir.inv_tf[start:start + count]          # (N,4,4)
@@ -273,12 +277,145 @@ def intersect_candidates(ir: SceneIR, orig, dirs) -> jnp.ndarray:
         elif typ == IR.TOROID:
             t = _toroid_t(o, d, params)
         parts.append(t.reshape(t.shape[0], -1))
-    if meta.n_triangles:
+    if meta.n_triangles and not meta.use_clusters:
         t_tri, _, _ = _triangle_t(orig, dirs, ir.tri_p1, ir.tri_e1, ir.tri_e2)
         parts.append(t_tri)
     if not parts:
         return jnp.full((orig.shape[0], 1), jnp.inf, orig.dtype)
     return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# clustered triangle mesh queries (large meshes)
+# ---------------------------------------------------------------------------
+
+def cluster_mask(ir: SceneIR, orig, dirs):
+    """Conservative ray-vs-cluster-AABB slab test: (R, Nc) bool.
+
+    Replaces the reference's per-ray BVH AABB walk (group.c:91-96,
+    bounding_box.c:163-175) with one dense test over all clusters."""
+    d = dirs
+    # finite saturated inverse: no 0-division NaN, conservative slabs
+    tiny = 1e-12
+    safe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    inv = 1.0 / safe                                    # (R,3)
+    t1 = (ir.cluster_min[None] - orig[:, None]) * inv[:, None]   # (R,Nc,3)
+    t2 = (ir.cluster_max[None] - orig[:, None]) * inv[:, None]
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return (tmin <= tmax) & (tmax > 0.0)
+
+
+def _cluster_tris(ir: SceneIR, c, C):
+    p1 = jax.lax.dynamic_slice(ir.tri_p1, (c * C, 0), (C, 3))
+    e1 = jax.lax.dynamic_slice(ir.tri_e1, (c * C, 0), (C, 3))
+    e2 = jax.lax.dynamic_slice(ir.tri_e2, (c * C, 0), (C, 3))
+    return p1, e1, e2
+
+
+_BIG_RANK = jnp.int32(jnp.iinfo(jnp.int32).max)
+_MESH_RAY_BLOCK = 512
+_DEAD_ORIGIN = 1e30   # dead-lane sentinel: hits no cluster AABB
+
+
+def neutralize_rays(orig, dirs, active):
+    """Park inactive lanes far outside every cluster AABB, pointing away,
+    so the blocked cluster skip (and every intersector) sees clean misses
+    (their shading contribution is masked anyway)."""
+    a = active[:, None]
+    return (jnp.where(a, orig, _DEAD_ORIGIN),
+            jnp.where(a, dirs, jnp.ones((), dirs.dtype)))
+
+
+def _mesh_blocked_reduce(ir: SceneIR, orig, dirs, init_fn, test_fn):
+    """Run a per-cluster reduction over ray blocks.
+
+    Rays are processed in blocks of _MESH_RAY_BLOCK; for each block the
+    cluster scan skips any cluster whose AABB no ray in the block touches
+    (lax.cond on a scalar — only the slab test runs). Image tiles and their
+    child bounces are spatially coherent, so most (block, cluster) pairs
+    skip — the lockstep analog of the reference's per-ray BVH descent."""
+    meta = ir.meta
+    C = meta.cluster_size
+    R = orig.shape[0]
+    B = min(_MESH_RAY_BLOCK, R)
+    pad = (-R) % B
+    if pad:
+        orig = jnp.concatenate(
+            [orig, jnp.full((pad, 3), _DEAD_ORIGIN, orig.dtype)])
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+    nblk = orig.shape[0] // B
+    orig_b = orig.reshape(nblk, B, 3)
+    dirs_b = dirs.reshape(nblk, B, 3)
+
+    def block(carry_blk):
+        o, d = carry_blk
+        mask = cluster_mask(ir, o, d)                 # (B, Nc)
+
+        def body(carry, c):
+            def test(carry):
+                p1, e1, e2 = _cluster_tris(ir, c, C)
+                t, _, _ = _triangle_t(o, d, p1, e1, e2)   # (B,C)
+                tpos = jnp.where(t > 0.0, t, jnp.inf)
+                return test_fn(carry, c, tpos)
+
+            carry = jax.lax.cond(jnp.any(mask[:, c]), test,
+                                 lambda x: x, carry)
+            return carry, None
+
+        carry, _ = jax.lax.scan(body, init_fn(B, orig.dtype),
+                                jnp.arange(meta.n_clusters))
+        return carry
+
+    out = jax.lax.map(block, (orig_b, dirs_b))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(nblk * B, *a.shape[2:])[:R], out)
+
+
+def mesh_closest(ir: SceneIR, orig, dirs):
+    """Nearest positive triangle hit over the clustered mesh:
+    (t (R,), tri_index (R,)); misses are t=inf."""
+    C = ir.meta.cluster_size
+
+    def init(B, dtype):
+        return (jnp.full((B,), jnp.inf, dtype), jnp.zeros((B,), jnp.int32))
+
+    def test(carry, c, tpos):
+        best_t, best_i = carry
+        tmin = jnp.min(tpos, axis=-1)
+        idx = (jnp.argmin(tpos, axis=-1) + c * C).astype(jnp.int32)
+        upd = tmin < best_t
+        return (jnp.where(upd, tmin, best_t), jnp.where(upd, idx, best_i))
+
+    return _mesh_blocked_reduce(ir, orig, dirs, init, test)
+
+
+def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
+    """Early-exit shadow components over the clustered mesh: per ray the
+    minimum shadow-walk rank among triangles with a positive hit, that
+    triangle's t, and its casts_shadow flag (see shadow_hit_early_exit)."""
+    C = ir.meta.cluster_size
+
+    def init(B, dtype):
+        return (jnp.full((B,), _BIG_RANK), jnp.full((B,), jnp.inf, dtype),
+                jnp.zeros((B,), bool))
+
+    def test(carry, c, tpos):
+        best_rank, best_t, best_sh = carry
+        pos = jnp.isfinite(tpos)
+        rk_c = jax.lax.dynamic_slice(tri_rank, (c * C,), (C,))
+        sh_c = jax.lax.dynamic_slice(tri_shadow, (c * C,), (C,))
+        rk = jnp.where(pos, rk_c[None], _BIG_RANK)
+        rmin = jnp.min(rk, axis=-1)
+        sel = pos & (rk == rmin[:, None])
+        tsel = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
+        shsel = jnp.any(sel & sh_c[None], axis=-1)
+        upd = rmin < best_rank
+        return (jnp.where(upd, rmin, best_rank),
+                jnp.where(upd, tsel, best_t),
+                jnp.where(upd, shsel, best_sh))
+
+    return _mesh_blocked_reduce(ir, orig, dirs, init, test)
 
 
 class Hit(NamedTuple):
@@ -335,6 +472,14 @@ def shadow_hit_early_exit(t_cand, slot_rank, slot_shadow_mask, dist):
     t_cand: (R,H); slot_rank: (H,) i32; slot_shadow_mask: (H,) bool;
     dist: (R,). Returns (R,) bool.
     """
+    min_rank, min_t, caster = shadow_components(t_cand, slot_rank,
+                                                slot_shadow_mask)
+    return (min_rank < jnp.iinfo(jnp.int32).max) & caster & (min_t < dist)
+
+
+def shadow_components(t_cand, slot_rank, slot_shadow_mask):
+    """Per ray: (min shadow-walk rank among positive hits, nearest positive
+    t of that leaf, that leaf's casts_shadow)."""
     tpos = jnp.where(t_cand > 0.0, t_cand, jnp.inf)
     valid = jnp.isfinite(tpos)
     big = jnp.iinfo(jnp.int32).max
@@ -343,4 +488,4 @@ def shadow_hit_early_exit(t_cand, slot_rank, slot_shadow_mask, dist):
     sel = valid & (rank == min_rank[:, None])
     min_t = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
     caster = jnp.any(sel & slot_shadow_mask[None], axis=-1)
-    return (min_rank < big) & caster & (min_t < dist)
+    return min_rank, min_t, caster

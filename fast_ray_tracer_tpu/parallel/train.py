@@ -35,9 +35,11 @@ def split_params(ir: SceneIR) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     leaves, meta = ir.tree_flatten()
     from dataclasses import fields
     names = [f.name for f in fields(SceneIR) if f.name != "meta"]
+    # float leaves that are discrete acceleration structure, not parameters
+    NON_TRAINABLE = {"cluster_min", "cluster_max"}
     for name, leaf in zip(names, leaves):
-        if leaf is not None and jnp.issubdtype(jnp.asarray(leaf).dtype,
-                                               jnp.floating):
+        if (leaf is not None and name not in NON_TRAINABLE
+                and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)):
             params[name] = leaf
         else:
             static[name] = leaf

@@ -24,8 +24,9 @@ import jax.numpy as jnp
 
 from fast_ray_tracer_tpu.constants import EPSILON, SQRT3
 from fast_ray_tracer_tpu.ops.intersect import (
-    Hit, closest_hit, intersect_candidates, shadow_hit_early_exit,
-    slot_tables, sorted_hits, triangle_uv_at,
+    Hit, closest_hit, intersect_candidates, mesh_closest,
+    mesh_shadow_reduce, neutralize_rays, shadow_components,
+    shadow_hit_early_exit, slot_tables, sorted_hits, triangle_uv_at,
 )
 from fast_ray_tracer_tpu.ops.patterns import ShapeCtx, build_shape_ctx, eval_pattern
 from fast_ray_tracer_tpu.render.normals import normal_at
@@ -58,24 +59,50 @@ class Triple(NamedTuple):
 
 
 class RenderStatics(NamedTuple):
-    """Per-scene derived tables and static flags."""
+    """Per-scene derived tables and static flags.
+
+    With use_clusters the slot_* tables cover the analytic block only and
+    the tri_* tables drive the streamed cluster queries."""
     slot_prim: np.ndarray        # (H,) static
     prim_mat: jnp.ndarray        # (N_prims,) i32 material per global prim
     slot_shadow: jnp.ndarray     # (H,) bool casts_shadow per slot
     slot_rank: jnp.ndarray       # (H,) i32 shadow-walk rank per slot
     prim_ni: jnp.ndarray         # (N_prims,) refractive index per prim
+    tri_rank: Optional[jnp.ndarray]    # (Nt,) i32 (use_clusters only)
+    tri_shadow: Optional[jnp.ndarray]  # (Nt,) bool
     cfg: ConfigDesc
 
 
 def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
-    slot_prim = slot_tables(ir.meta)
+    meta = ir.meta
+    slot_prim = slot_tables(meta)
     prim_mat = jnp.concatenate([ir.material_id, ir.tri_material_id])
     slot_shadow = ir.mat_casts_shadow[prim_mat[jnp.asarray(slot_prim)]]
     slot_rank = ir.prim_shadow_rank[jnp.asarray(slot_prim)]
     prim_ni = ir.mat_Ni[prim_mat]
+    tri_rank = tri_shadow = None
+    if meta.use_clusters:
+        tri_rank = ir.prim_shadow_rank[meta.n_analytic:]
+        tri_shadow = ir.mat_casts_shadow[ir.tri_material_id]
     return RenderStatics(slot_prim=slot_prim, prim_mat=prim_mat,
                          slot_shadow=slot_shadow, slot_rank=slot_rank,
-                         prim_ni=prim_ni, cfg=cfg)
+                         prim_ni=prim_ni, tri_rank=tri_rank,
+                         tri_shadow=tri_shadow, cfg=cfg)
+
+
+def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs):
+    """Nearest positive hit over analytic prims + (clustered) mesh.
+    Returns (Hit, t_cand or None for the containers sort)."""
+    meta = ir.meta
+    t_cand = intersect_candidates(ir, orig, dirs)
+    hit = closest_hit(t_cand, rt.slot_prim)
+    if not meta.use_clusters:
+        return hit, t_cand
+    t_m, idx_m = mesh_closest(ir, orig, dirs)
+    use_m = t_m < hit.t
+    return Hit(valid=hit.valid | jnp.isfinite(t_m),
+               t=jnp.where(use_m, t_m, hit.t),
+               prim=jnp.where(use_m, idx_m + meta.n_analytic, hit.prim)), None
 
 
 class Comps(NamedTuple):
@@ -159,10 +186,10 @@ def refraction_indices(t_sorted, prim_sorted, t_hit, prim_ni):
     return n1, n2
 
 
-def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
-                         t_cand) -> Comps:
+def prepare_computations(ir: SceneIR, rt: RenderStatics, orig,
+                         dirs) -> Comps:
     meta = ir.meta
-    hit = closest_hit(t_cand, rt.slot_prim)
+    hit, t_cand = closest_query(ir, rt, orig, dirs)
     t = jnp.where(hit.valid, hit.t, 1.0)
     prim = hit.prim
     p = orig + t[:, None] * dirs
@@ -192,6 +219,8 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
     under_point = p - normalv * EPSILON
 
     if meta.needs_hit_sort:
+        assert t_cand is not None, \
+            "containers walk requires the dense candidate path"
         t_sorted, prim_sorted = sorted_hits(t_cand, rt.slot_prim,
                                             meta.max_hits)
         n1, n2 = refraction_indices(t_sorted, prim_sorted, hit.t, rt.prim_ni)
@@ -228,18 +257,35 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
 # shadows and direct lighting
 # ---------------------------------------------------------------------------
 
-def is_shadowed(ir: SceneIR, rt: RenderStatics, light_pts, p):
+def is_shadowed(ir: SceneIR, rt: RenderStatics, light_pts, p, active=None):
     """Batched is_shadowed (renderer.c:73-93). light_pts: (R,S,3), p: (R,3)
-    -> (R,S) bool."""
+    -> (R,S) bool. `active`: (R,) lanes whose result matters (dead lanes
+    are parked outside the scene so cluster blocks skip them)."""
     R, S, _ = light_pts.shape
     v = light_pts - p[:, None, :]
     dist = jnp.linalg.norm(v, axis=-1)
     direction = v / dist[..., None].clip(1e-30)
     o = jnp.broadcast_to(p[:, None, :], (R, S, 3)).reshape(R * S, 3)
     d = direction.reshape(R * S, 3)
+    if active is not None and ir.meta.use_clusters:
+        o, d = neutralize_rays(
+            o, d, jnp.broadcast_to(active[:, None], (R, S)).reshape(R * S))
+    df = dist.reshape(R * S)
     t_cand = intersect_candidates(ir, o, d)
-    shadowed = shadow_hit_early_exit(t_cand, rt.slot_rank, rt.slot_shadow,
-                                     dist.reshape(R * S))
+    if not ir.meta.use_clusters:
+        shadowed = shadow_hit_early_exit(t_cand, rt.slot_rank,
+                                         rt.slot_shadow, df)
+        return shadowed.reshape(R, S)
+    # combine analytic + mesh early-exit components: lower rank wins
+    a_rank, a_t, a_sh = shadow_components(t_cand, rt.slot_rank,
+                                          rt.slot_shadow)
+    m_rank, m_t, m_sh = mesh_shadow_reduce(ir, rt.tri_rank, rt.tri_shadow,
+                                           o, d)
+    use_m = m_rank < a_rank
+    rank = jnp.where(use_m, m_rank, a_rank)
+    t = jnp.where(use_m, m_t, a_t)
+    sh = jnp.where(use_m, m_sh, a_sh)
+    shadowed = (rank < jnp.iinfo(jnp.int32).max) & sh & (t < df)
     return shadowed.reshape(R, S)
 
 
@@ -358,12 +404,13 @@ def lighting_microfacet(ir: SceneIR, rt: RenderStatics, comps: Comps,
     return res
 
 
-def intensity_at(ir: SceneIR, rt: RenderStatics, li: int, p, key):
+def intensity_at(ir: SceneIR, rt: RenderStatics, li: int, p, key,
+                 active=None):
     """Fraction of unshadowed light samples (light.c:229-251)."""
     typ, usteps, vsteps, jitter, num = ir.meta.light_info[li]
     R = p.shape[0]
     pts = _light_sample_points(ir, li, R, key)
-    shadowed = is_shadowed(ir, rt, pts, p)
+    shadowed = is_shadowed(ir, rt, pts, p, active)
     return jnp.mean(1.0 - shadowed.astype(p.dtype), axis=-1), pts
 
 
@@ -387,11 +434,13 @@ def shade_direct(ir: SceneIR, rt: RenderStatics, comps: Comps, key) -> Triple:
             typ = ir.meta.light_info[li][0]
             if typ in (IR.LIGHT_POINT, IR.LIGHT_HEMISPHERE):
                 pts = _light_sample_points(ir, li, R, None)
-                shadowed = is_shadowed(ir, rt, pts, comps.over_point)
+                shadowed = is_shadowed(ir, rt, pts, comps.over_point,
+                                       comps.valid)
                 intensity = 1.0 - shadowed[:, 0].astype(dtype)
                 light_pts = pts
             else:
-                intensity, _ = intensity_at(ir, rt, li, comps.over_point, k1)
+                intensity, _ = intensity_at(ir, rt, li, comps.over_point,
+                                            k1, comps.valid)
                 light_pts = _light_sample_points(ir, li, R, k2)
             surface = surface + lighting_microfacet(
                 ir, rt, comps, li, light_pts, intensity)
@@ -493,19 +542,26 @@ def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
     cur_o, cur_d = orig, dirs
     for lvl in range(depth + 1):
         lkey = None if key is None else jax.random.fold_in(key, lvl)
-        t_cand = intersect_candidates(ir, cur_o, cur_d)
-        comps = prepare_computations(ir, rt, cur_o, cur_d, t_cand)
+        comps = prepare_computations(ir, rt, cur_o, cur_d)
         direct = shade_direct(ir, rt, comps, lkey)
         levels.append((comps, direct))
         if lvl == depth:
             break
         children_o, children_d = [], []
+        neutralize = ir.meta.use_clusters
         if want_refl:
-            children_o.append(comps.over_point)
-            children_d.append(comps.reflectv)
+            o_c, d_c = comps.over_point, comps.reflectv
+            if neutralize:
+                o_c, d_c = neutralize_rays(
+                    o_c, d_c, ir.mat_reflective[comps.mat] & comps.valid)
+            children_o.append(o_c)
+            children_d.append(d_c)
         if want_refr:
-            children_o.append(comps.under_point)
-            children_d.append(refract_direction(comps))
+            o_c, d_c = comps.under_point, refract_direction(comps)
+            if neutralize:
+                o_c, d_c = neutralize_rays(o_c, d_c, refract_active(comps))
+            children_o.append(o_c)
+            children_d.append(d_c)
         if not children_o:
             break
         cur_o = jnp.concatenate(children_o, axis=0)

@@ -342,6 +342,60 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     tri_rank = (doc_rank[np.asarray(tables.t_doc, dtype=np.int64)]
                 if nt else np.zeros(0, np.int64))
 
+    # ---- triangle clustering (large meshes) ----
+    # Morton-order triangles by centroid and group into fixed-size clusters
+    # with AABBs; the intersector then streams clusters with whole-chunk
+    # AABB culling instead of materializing a (rays x Nt) matrix. The
+    # reference gets the same effect from its per-ray BVH walk
+    # (group_divide + bounding_box test, src/shapes/group.c:91-147).
+    CLUSTER_SIZE = 64
+    use_clusters = nt >= 2048
+    if use_clusters:
+        centroid = tri_p1 + (tri_e1 + tri_e2) / 3.0
+        order_t = _morton_order(centroid)
+        (tri_p1, tri_e1, tri_e2, tri_n1, tri_n2, tri_n3,
+         tri_t1, tri_t2, tri_t3) = (a[order_t] for a in (
+             tri_p1, tri_e1, tri_e2, tri_n1, tri_n2, tri_n3,
+             tri_t1, tri_t2, tri_t3))
+        tri_use_tex = tri_use_tex[order_t]
+        tri_mat = tri_mat[order_t]
+        tri_csg = tri_csg[order_t]
+        tri_side = tri_side[order_t]
+        tri_rank = tri_rank[order_t]
+        pad = (-nt) % CLUSTER_SIZE
+        if pad:
+            inf3 = np.full((pad, 3), np.inf)
+            z3 = np.zeros((pad, 3))
+            z2 = np.zeros((pad, 2))
+            tri_p1 = np.concatenate([tri_p1, inf3])
+            tri_e1 = np.concatenate([tri_e1, z3])
+            tri_e2 = np.concatenate([tri_e2, z3])
+            tri_n1 = np.concatenate([tri_n1, z3])
+            tri_n2 = np.concatenate([tri_n2, z3])
+            tri_n3 = np.concatenate([tri_n3, z3])
+            tri_t1 = np.concatenate([tri_t1, z2])
+            tri_t2 = np.concatenate([tri_t2, z2])
+            tri_t3 = np.concatenate([tri_t3, z2])
+            tri_use_tex = np.concatenate([tri_use_tex, np.zeros(pad, bool)])
+            tri_mat = np.concatenate([tri_mat, np.zeros(pad, np.int64)])
+            tri_csg = np.concatenate([tri_csg, -np.ones(pad, np.int64)])
+            tri_side = np.concatenate([tri_side, np.zeros(pad, np.int64)])
+            tri_rank = np.concatenate(
+                [tri_rank, np.full(pad, 1 << 30, np.int64)])
+        nt_padded = nt + pad
+        n_clusters = nt_padded // CLUSTER_SIZE
+        verts = np.stack([tri_p1, tri_p1 + tri_e1, tri_p1 + tri_e2], 1)
+        with np.errstate(invalid="ignore"):
+            vc = verts.reshape(n_clusters, CLUSTER_SIZE * 3, 3)
+            finite = np.isfinite(vc).all(-1, keepdims=True)
+            cluster_min = np.where(finite, vc, np.inf).min(axis=1)
+            cluster_max = np.where(finite, vc, -np.inf).max(axis=1)
+        nt = nt_padded
+    else:
+        n_clusters = 0
+        cluster_min = np.zeros((1, 3))
+        cluster_max = np.zeros((1, 3))
+
     # ---- materials ----
     if not tables.m_rows:
         tables.add_material(None)
@@ -443,6 +497,10 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     has_refl = bool(mat_reflective.any()) and cfg.include_specular
     has_refr = bool((mat_Tr > 0).any() or (mat_map[:, IR.SLOT_D] >= 0).any()) \
         and cfg.include_specular
+    # the containers walk only matters when some Ni != 1; with all indices
+    # 1.0 the walk provably yields n1 = n2 = 1 (renderer.c:406-447), so the
+    # expensive all-hits sort is skipped (e.g. bounding_boxes' Ni=1 boxes)
+    needs_sort = has_refr and bool((np.abs(mat_Ni - 1.0) > 1e-12).any())
     n_hit_slots = int(sum(IR.TYPE_MAX_HITS[t] * c for t, _, c in type_ranges)) + nt
 
     # static pattern structure for evaluator pruning
@@ -467,7 +525,9 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         n_lights=L, type_ranges=tuple(type_ranges),
         light_info=tuple(light_info), max_light_samples=s_max,
         has_reflective=has_refl, has_refractive=has_refr,
-        needs_hit_sort=has_refr,
+        needs_hit_sort=needs_sort,
+        use_clusters=use_clusters, n_clusters=n_clusters,
+        cluster_size=CLUSTER_SIZE,
         # the containers walk needs every intersection (negative t included);
         # truncation silently corrupts n1/n2, so only cap for huge scenes
         max_hits=min(64, max(2, n_hit_slots)),
@@ -492,6 +552,7 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         tri_t1=f(tri_t1), tri_t2=f(tri_t2), tri_t3=f(tri_t3),
         tri_use_tex=jnp.asarray(tri_use_tex), tri_material_id=i32(tri_mat),
         tri_csg_leaf=i32(tri_csg), tri_csg_side=i32(tri_side),
+        cluster_min=f(cluster_min), cluster_max=f(cluster_max),
         mat_Ka=f(mat["Ka"]), mat_Kd=f(mat["Kd"]), mat_Ks=f(mat["Ks"]),
         mat_Tf=f(mat["Tf"]), mat_refl=f(mat["refl"]),
         mat_Ns=f(mat_Ns), mat_Ni=f(mat_Ni), mat_Tr=f(mat_Tr),
@@ -508,6 +569,25 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         light_normal=f(li_normal), light_radius=f(li_radius),
         light_points=f(li_points), light_mask=jnp.asarray(li_mask),
     )
+
+
+def _morton_order(centroid: np.ndarray) -> np.ndarray:
+    """Sort order by 30-bit Morton code of quantized centroids — spatially
+    coherent clusters for AABB culling."""
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    q = ((centroid - lo) / np.where(hi - lo > 0, hi - lo, 1.0)
+         * 1023.0).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
 
 
 def _np_decode(color_space: str):

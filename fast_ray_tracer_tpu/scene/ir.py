@@ -66,6 +66,11 @@ class SceneMeta:
     has_refractive: bool = False
     needs_hit_sort: bool = False      # refraction containers need sorted hits
     max_hits: int = 8                 # K for the sorted hit list
+    # triangle clustering (large meshes): Morton-ordered fixed-size
+    # clusters streamed with AABB culling instead of dense (rays x Nt)
+    use_clusters: bool = False
+    n_clusters: int = 0
+    cluster_size: int = 64
     # pattern slots present anywhere (skip pattern machinery when unused)
     any_patterns: bool = False
     any_bump: bool = False
@@ -109,6 +114,10 @@ class SceneIR:
     tri_material_id: Any = None # (Nt,) i32
     tri_csg_leaf: Any = None
     tri_csg_side: Any = None
+    # cluster AABBs (Nc,3) — acceleration structure, not trainable
+    # (culling is discrete; parallel/train.py excludes these from params)
+    cluster_min: Any = None
+    cluster_max: Any = None
 
     # --- materials (M) ---
     mat_Ka: Any = None          # (M,3) linear
