@@ -286,6 +286,65 @@ def intersect_candidates(ir: SceneIR, orig, dirs) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# CSG filtering
+# ---------------------------------------------------------------------------
+
+def csg_static_tables(meta, slot_prim: np.ndarray, prim_csg: np.ndarray,
+                      prim_side: np.ndarray):
+    """Static per-tree slot index lists + per-slot path bits."""
+    trees = []
+    slot_csg = prim_csg[slot_prim]
+    slot_side = prim_side[slot_prim]
+    for t, nodes in enumerate(meta.csg_trees):
+        slots = np.nonzero(slot_csg == t)[0].astype(np.int32)
+        trees.append((slots, slot_side[slots].astype(np.int32), nodes))
+    return trees
+
+
+def apply_csg_filter(t_cand, csg_tables):
+    """Kill intersections disallowed by the csg truth tables
+    (csg_filter_intersections, src/shapes/csg.c:27-125).
+
+    For each tree: sort the tree's candidate ts ascending (misses +inf sort
+    last), then process internal nodes deepest-first. At node (d, p) a
+    surviving hit toggles the node's in-left/in-right state; a hit is kept
+    iff allowed by the op's truth table evaluated against the parity of
+    surviving same-subtree hits strictly before it. Deeper trees filter
+    first, exactly like the reference's recursive csg_local_intersect."""
+    out = t_cand
+    for slots, sides, nodes in csg_tables:
+        K = len(slots)
+        if K == 0:
+            continue
+        ts = out[:, slots]                                  # (R,K)
+        order = jnp.argsort(ts, axis=-1)                    # ascending
+        ts_s = jnp.take_along_axis(ts, order, axis=-1)
+        side_s = jnp.asarray(sides)[order]                  # (R,K)
+        alive = jnp.isfinite(ts_s)
+        for depth, path, op in sorted(nodes, key=lambda n: -n[0]):
+            mask_bits = (1 << depth) - 1
+            in_node = alive & ((side_s & mask_bits) == path)
+            lhit = (side_s >> depth) & 1 == 0
+            l_tog = (in_node & lhit).astype(jnp.int32)
+            r_tog = (in_node & ~lhit).astype(jnp.int32)
+            inl = (jnp.cumsum(l_tog, axis=-1) - l_tog) % 2 == 1
+            inr = (jnp.cumsum(r_tog, axis=-1) - r_tog) % 2 == 1
+            if op == 0:        # union
+                allowed = (lhit & ~inr) | (~lhit & ~inl)
+            elif op == 1:      # intersection
+                allowed = (lhit & inr) | (~lhit & inl)
+            else:              # difference
+                allowed = (lhit & ~inr) | (~lhit & inl)
+            alive = alive & (allowed | ~in_node)
+        ts_s = jnp.where(alive, ts_s, jnp.inf)
+        # scatter back through the inverse permutation
+        inv = jnp.argsort(order, axis=-1)
+        ts_f = jnp.take_along_axis(ts_s, inv, axis=-1)
+        out = out.at[:, slots].set(ts_f)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # clustered triangle mesh queries (large meshes)
 # ---------------------------------------------------------------------------
 
@@ -397,23 +456,20 @@ def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
     C = ir.meta.cluster_size
 
     def init(B, dtype):
-        return (jnp.full((B,), _BIG_RANK), jnp.full((B,), jnp.inf, dtype),
-                jnp.zeros((B,), bool))
+        return (jnp.full((B,), _BIG_RANK), jnp.full((B,), jnp.inf, dtype))
 
     def test(carry, c, tpos):
-        best_rank, best_t, best_sh = carry
+        best_rank, best_t = carry
         pos = jnp.isfinite(tpos)
         rk_c = jax.lax.dynamic_slice(tri_rank, (c * C,), (C,))
         sh_c = jax.lax.dynamic_slice(tri_shadow, (c * C,), (C,))
         rk = jnp.where(pos, rk_c[None], _BIG_RANK)
         rmin = jnp.min(rk, axis=-1)
-        sel = pos & (rk == rmin[:, None])
+        sel = pos & (rk == rmin[:, None]) & sh_c[None]
         tsel = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
-        shsel = jnp.any(sel & sh_c[None], axis=-1)
         upd = rmin < best_rank
         return (jnp.where(upd, rmin, best_rank),
-                jnp.where(upd, tsel, best_t),
-                jnp.where(upd, shsel, best_sh))
+                jnp.where(upd, tsel, best_t))
 
     return _mesh_blocked_reduce(ir, orig, dirs, init, test)
 
@@ -472,20 +528,22 @@ def shadow_hit_early_exit(t_cand, slot_rank, slot_shadow_mask, dist):
     t_cand: (R,H); slot_rank: (H,) i32; slot_shadow_mask: (H,) bool;
     dist: (R,). Returns (R,) bool.
     """
-    min_rank, min_t, caster = shadow_components(t_cand, slot_rank,
-                                                slot_shadow_mask)
-    return (min_rank < jnp.iinfo(jnp.int32).max) & caster & (min_t < dist)
+    min_rank, cast_t = shadow_components(t_cand, slot_rank,
+                                         slot_shadow_mask)
+    return cast_t < dist
 
 
 def shadow_components(t_cand, slot_rank, slot_shadow_mask):
     """Per ray: (min shadow-walk rank among positive hits, nearest positive
-    t of that leaf, that leaf's casts_shadow)."""
+    *casts_shadow* t within that leaf — inf if the stopping leaf has no
+    casting hit). The walk stops on ANY positive hit, but `hit(xs, true)`
+    then only considers shadow casters (intersection.c:41-54); for a csg
+    leaf with mixed materials those differ."""
     tpos = jnp.where(t_cand > 0.0, t_cand, jnp.inf)
     valid = jnp.isfinite(tpos)
     big = jnp.iinfo(jnp.int32).max
     rank = jnp.where(valid, slot_rank[None], big)
     min_rank = jnp.min(rank, axis=-1)                       # (R,)
-    sel = valid & (rank == min_rank[:, None])
-    min_t = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
-    caster = jnp.any(sel & slot_shadow_mask[None], axis=-1)
-    return min_rank, min_t, caster
+    sel = valid & (rank == min_rank[:, None]) & slot_shadow_mask[None]
+    cast_t = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
+    return min_rank, cast_t

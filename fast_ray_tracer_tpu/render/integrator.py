@@ -24,9 +24,10 @@ import jax.numpy as jnp
 
 from fast_ray_tracer_tpu.constants import EPSILON, SQRT3
 from fast_ray_tracer_tpu.ops.intersect import (
-    Hit, closest_hit, intersect_candidates, mesh_closest,
-    mesh_shadow_reduce, neutralize_rays, shadow_components,
-    shadow_hit_early_exit, slot_tables, sorted_hits, triangle_uv_at,
+    Hit, apply_csg_filter, closest_hit, csg_static_tables,
+    intersect_candidates, mesh_closest, mesh_shadow_reduce,
+    neutralize_rays, shadow_components, shadow_hit_early_exit,
+    slot_tables, sorted_hits, triangle_uv_at,
 )
 from fast_ray_tracer_tpu.ops.patterns import ShapeCtx, build_shape_ctx, eval_pattern
 from fast_ray_tracer_tpu.render.normals import normal_at
@@ -70,6 +71,7 @@ class RenderStatics(NamedTuple):
     prim_ni: jnp.ndarray         # (N_prims,) refractive index per prim
     tri_rank: Optional[jnp.ndarray]    # (Nt,) i32 (use_clusters only)
     tri_shadow: Optional[jnp.ndarray]  # (Nt,) bool
+    csg_tables: tuple            # static per-tree (slots, sides, nodes)
     cfg: ConfigDesc
 
 
@@ -84,10 +86,19 @@ def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
     if meta.use_clusters:
         tri_rank = ir.prim_shadow_rank[meta.n_analytic:]
         tri_shadow = ir.mat_casts_shadow[ir.tri_material_id]
+    csg_tables = ()
+    if meta.has_csg:
+        prim_csg = np.concatenate([np.asarray(ir.csg_leaf),
+                                   np.asarray(ir.tri_csg_leaf)])
+        prim_side = np.concatenate([np.asarray(ir.csg_side),
+                                    np.asarray(ir.tri_csg_side)])
+        csg_tables = tuple(csg_static_tables(meta, slot_prim, prim_csg,
+                                             prim_side))
     return RenderStatics(slot_prim=slot_prim, prim_mat=prim_mat,
                          slot_shadow=slot_shadow, slot_rank=slot_rank,
                          prim_ni=prim_ni, tri_rank=tri_rank,
-                         tri_shadow=tri_shadow, cfg=cfg)
+                         tri_shadow=tri_shadow, csg_tables=csg_tables,
+                         cfg=cfg)
 
 
 def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs):
@@ -95,6 +106,8 @@ def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs):
     Returns (Hit, t_cand or None for the containers sort)."""
     meta = ir.meta
     t_cand = intersect_candidates(ir, orig, dirs)
+    if meta.has_csg:
+        t_cand = apply_csg_filter(t_cand, rt.csg_tables)
     hit = closest_hit(t_cand, rt.slot_prim)
     if not meta.use_clusters:
         return hit, t_cand
@@ -272,20 +285,18 @@ def is_shadowed(ir: SceneIR, rt: RenderStatics, light_pts, p, active=None):
             o, d, jnp.broadcast_to(active[:, None], (R, S)).reshape(R * S))
     df = dist.reshape(R * S)
     t_cand = intersect_candidates(ir, o, d)
+    if ir.meta.has_csg:
+        t_cand = apply_csg_filter(t_cand, rt.csg_tables)
     if not ir.meta.use_clusters:
         shadowed = shadow_hit_early_exit(t_cand, rt.slot_rank,
                                          rt.slot_shadow, df)
         return shadowed.reshape(R, S)
     # combine analytic + mesh early-exit components: lower rank wins
-    a_rank, a_t, a_sh = shadow_components(t_cand, rt.slot_rank,
-                                          rt.slot_shadow)
-    m_rank, m_t, m_sh = mesh_shadow_reduce(ir, rt.tri_rank, rt.tri_shadow,
-                                           o, d)
+    a_rank, a_t = shadow_components(t_cand, rt.slot_rank, rt.slot_shadow)
+    m_rank, m_t = mesh_shadow_reduce(ir, rt.tri_rank, rt.tri_shadow, o, d)
     use_m = m_rank < a_rank
-    rank = jnp.where(use_m, m_rank, a_rank)
     t = jnp.where(use_m, m_t, a_t)
-    sh = jnp.where(use_m, m_sh, a_sh)
-    shadowed = (rank < jnp.iinfo(jnp.int32).max) & sh & (t < df)
+    shadowed = t < df
     return shadowed.reshape(R, S)
 
 

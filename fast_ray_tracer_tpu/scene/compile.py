@@ -107,6 +107,8 @@ class _Tables:
         self.t_rows: List[Tuple] = []     # (p1,p2,p3,n1,n2,n3,t1,t2,t3,use_tex,mat,csg,side)
         self.t_doc: List[int] = []
         self.next_leaf = 0                # shared doc-order leaf counter
+        # csg trees: per tree, tuple of internal nodes (depth, path, op)
+        self.csg_trees: List[Tuple] = []
         # materials
         self.m_rows: List[Dict] = []
         # patterns
@@ -221,7 +223,18 @@ def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
                   node.children)
         return
     if shape.kind == "csg":
-        raise NotImplementedError("CSG compiled in compile_csg pass")  # set below
+        # one csg tree = ONE shadow-walk leaf; leaf prims carry the tree id
+        # and their root-to-leaf path bits (bit d set = right child at
+        # depth d) for the vectorized truth-table filter
+        tree_id = len(tables.csg_trees)
+        tree_nodes: List[Tuple[int, int, int]] = []
+        doc = tables.next_leaf
+        tables.next_leaf += 1
+        node = _walk_csg_child(shape, parent_m, tables, tree_id, 0, 0,
+                               inherited_mat, tree_nodes, doc)
+        nodes.append(node)
+        tables.csg_trees.append(tuple(tree_nodes))
+        return
     if shape.kind == "obj":
         from fast_ray_tracer_tpu.scene.obj_loader import load_obj_into
         load_obj_into(shape, m_world, tables, csg_id, csg_side, nodes, m_flat)
@@ -282,6 +295,70 @@ def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
         obj_box=div.leaf_box(shape.kind, minimum=shape.minimum,
                              maximum=shape.maximum, r1=shape.r1, r2=shape.r2)))
     tables.next_leaf += 1
+
+
+_CSG_OPS = {"union": 0, "intersection": 1, "difference": 2}
+
+
+def _walk_csg_child(sub: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
+                    tree_id: int, depth: int, path: int,
+                    inherited_mat: Optional[int], tree_nodes: List,
+                    doc: int) -> div.Node:
+    """Walk a node of a csg tree at position (depth, path). Records the op
+    of internal csg nodes, emits leaf prims tagged with (tree_id, path),
+    and returns the divide-sim bounds Node. All leaves share ONE document
+    leaf id `doc` (the whole tree is a single shadow-walk leaf)."""
+    m_local = compose_chain(sub.transform)
+    m_world = parent_m @ m_local
+    m_flat = m_local.ravel().tolist()
+
+    if sub.kind == "csg":
+        tree_nodes.append((depth, path, _CSG_OPS[sub.op]))
+        mat = (tables.add_material(sub.material)
+               if sub.material is not None else inherited_mat)
+        node = div.Node(kind="csg", transform=m_flat, leaf_id=doc)
+        node.left = _walk_csg_child(sub.left, m_world, tables, tree_id,
+                                    depth + 1, path, mat, tree_nodes, doc)
+        node.right = _walk_csg_child(sub.right, m_world, tables, tree_id,
+                                     depth + 1, path | (1 << depth), mat,
+                                     tree_nodes, doc)
+        return node
+
+    if sub.kind == "group":
+        node = div.Node(kind="group", transform=m_flat, leaf_id=doc)
+        for child in sub.children:
+            node.children.append(_walk_csg_child(
+                child, m_world, tables, tree_id, depth, path,
+                inherited_mat, tree_nodes, doc))
+        return node
+
+    if sub.kind == "obj":
+        raise NotImplementedError("obj meshes inside CSG")
+
+    mat_id = (tables.add_material(sub.material)
+              if sub.material is not None else
+              (inherited_mat if inherited_mat is not None
+               else tables.add_material(None)))
+
+    if sub.kind in ("triangle", "smooth_triangle"):
+        raise NotImplementedError("triangles inside CSG")
+
+    typ = _KIND_TO_TYPE[sub.kind]
+    params = [0.0, 0.0, 0.0, 0.0]
+    if sub.kind in ("cylinder", "cone"):
+        params = [sub.minimum, sub.maximum, 1.0 if sub.closed else 0.0, 0.0]
+    elif sub.kind == "toroid":
+        params = [sub.r1, sub.r2, 0.0, 0.0]
+    tables.a_type.append(typ)
+    tables.a_inv.append(np.linalg.inv(m_world))
+    tables.a_params.append(params)
+    tables.a_mat.append(mat_id)
+    tables.a_csg.append((tree_id, path))
+    tables.a_doc.append(doc)
+    return div.Node(kind=sub.kind, transform=m_flat, leaf_id=doc,
+                    obj_box=div.leaf_box(sub.kind, minimum=sub.minimum,
+                                         maximum=sub.maximum, r1=sub.r1,
+                                         r2=sub.r2))
 
 
 def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
@@ -538,6 +615,8 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
                                 if r["type"] == IR.PAT_MAP})),
         pattern_depth=pattern_depth,
         max_perlin_octaves=max_octaves,
+        csg_trees=tuple(tables.csg_trees),
+        has_csg=bool(tables.csg_trees),
     )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)

@@ -297,13 +297,12 @@ def divide(node: Node, threshold: int):
 
 def collect_leaf_order(node: Node, out: List[int]):
     """DFS leaf ids in post-divide child-array order (= the order the
-    early-exit shadow walk visits leaves)."""
+    early-exit shadow walk visits leaves). A CSG subtree is ONE leaf: the
+    group walk stops when the csg's *filtered* hit list has a positive t
+    (group.c:108-123 sees the csg as a single child)."""
     if node.kind == "group":
         for c in node.children:
             collect_leaf_order(c, out)
-    elif node.kind == "csg":
-        collect_leaf_order(node.left, out)
-        collect_leaf_order(node.right, out)
     else:
         out.append(node.leaf_id)
 

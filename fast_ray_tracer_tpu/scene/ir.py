@@ -80,9 +80,10 @@ class SceneMeta:
     map_kinds: Tuple[int, ...] = ()  # uv-map projections present
     pattern_depth: int = 0          # max combinator nesting depth present
     max_perlin_octaves: int = 0
-    # csg
-    n_csg_nodes: int = 0
-    csg_info: Tuple[Tuple[int, int, int], ...] = ()  # (op, depth, parent) per node
+    # csg: per tree, internal nodes as (depth, path, op) — op 0=union,
+    # 1=intersection, 2=difference; a leaf prim belongs to node (d, p)
+    # iff the low d bits of its csg_side path equal p
+    csg_trees: Tuple[Tuple[Tuple[int, int, int], ...], ...] = ()
     has_csg: bool = False
 
 

@@ -72,6 +72,17 @@ def test_teapot_bitwise():
     assert ours == golden
 
 
+def test_csg_bitwise():
+    """Difference, intersection, and a nested difference(union(...), ...)
+    tree (the structure of cornell_box's right wall)."""
+    golden = _golden("csg_test")
+    yml = GOLDEN / "csg_test.yml"
+    if not yml.exists():
+        pytest.skip("csg_test.yml not generated")
+    ours = _render_ppm(yml, chunk_pixels=15000)
+    assert ours == golden
+
+
 @pytest.mark.slow
 def test_glamour_statistical():
     """shadow_glamour_shot at 300x120: jittered 10x10 area light consumes
