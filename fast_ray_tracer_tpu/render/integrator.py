@@ -101,17 +101,23 @@ def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
                          cfg=cfg)
 
 
-def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs):
+def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs,
+                  shadow_filter: bool = False):
     """Nearest positive hit over analytic prims + (clustered) mesh.
-    Returns (Hit, t_cand or None for the containers sort)."""
+    Returns (Hit, t_cand or None for the containers sort).
+    shadow_filter=True restricts to casts_shadow materials (`hit(xs,
+    true)` — the photon pass uses this, photon_tracer.c:190)."""
     meta = ir.meta
     t_cand = intersect_candidates(ir, orig, dirs)
     if meta.has_csg:
         t_cand = apply_csg_filter(t_cand, rt.csg_tables)
-    hit = closest_hit(t_cand, rt.slot_prim)
+    mask = rt.slot_shadow if shadow_filter else None
+    hit = closest_hit(t_cand, rt.slot_prim, mask=mask)
     if not meta.use_clusters:
         return hit, t_cand
     t_m, idx_m = mesh_closest(ir, orig, dirs)
+    if shadow_filter:
+        t_m = jnp.where(rt.tri_shadow[idx_m], t_m, jnp.inf)
     use_m = t_m < hit.t
     return Hit(valid=hit.valid | jnp.isfinite(t_m),
                t=jnp.where(use_m, t_m, hit.t),
@@ -199,10 +205,10 @@ def refraction_indices(t_sorted, prim_sorted, t_hit, prim_ni):
     return n1, n2
 
 
-def prepare_computations(ir: SceneIR, rt: RenderStatics, orig,
-                         dirs) -> Comps:
+def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
+                         shadow_filter: bool = False) -> Comps:
     meta = ir.meta
-    hit, t_cand = closest_query(ir, rt, orig, dirs)
+    hit, t_cand = closest_query(ir, rt, orig, dirs, shadow_filter)
     t = jnp.where(hit.valid, hit.t, 1.0)
     prim = hit.prim
     p = orig + t[:, None] * dirs
@@ -622,3 +628,122 @@ def color_at(ir: SceneIR, rt: RenderStatics, orig, dirs, remaining: int,
              key) -> Triple:
     """renderer.c:347-366 for a ray batch (wavefront implementation)."""
     return trace(ir, rt, orig, dirs, remaining, key)
+
+
+# ---------------------------------------------------------------------------
+# compacted wavefront (host-driven level loop)
+# ---------------------------------------------------------------------------
+
+def level_forward(ir: SceneIR, rt: RenderStatics, orig, dirs, key):
+    """One wavefront level: intersect + direct shading + child-spawn info."""
+    comps = prepare_computations(ir, rt, orig, dirs)
+    direct = shade_direct(ir, rt, comps, key)
+    refl_act = ir.mat_reflective[comps.mat] & comps.valid
+    refr_act = refract_active(comps)
+    refr_dir = refract_direction(comps)
+    return comps, direct, refl_act, refr_act, refr_dir
+
+
+def _next_bucket(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class CompactTracer:
+    """Host-driven wavefront with active-lane compaction.
+
+    The statically-unrolled `trace` doubles the batch every level whether
+    or not lanes can actually spawn children; the reference's recursion
+    only descends on reflective/refractive surfaces. Here each level's
+    child batch is compacted to the live lanes (host sync per level),
+    padded to a power-of-two bucket so jit programs are reused, and the
+    upward combine scatters child results back through the recorded index
+    maps. Per-lane arithmetic is identical to `trace` — deterministic
+    scenes stay byte-identical."""
+
+    def __init__(self, ir_example: SceneIR, rt: RenderStatics):
+        self.rt = rt
+        self._fwd = jax.jit(
+            lambda ir, o, d, k: level_forward(ir, rt, o, d, k))
+
+        def _combine(ir, comps, direct, refl_raw, refr_raw):
+            total = combine_specular(ir, rt, comps, direct, refl_raw,
+                                     refr_raw)
+            return total.mask(comps.valid)
+
+        self._combine = jax.jit(_combine)
+
+    def trace(self, ir: SceneIR, orig, dirs, depth: int, key) -> Triple:
+        rt = self.rt
+        cfg = rt.cfg
+        want_refl = (cfg.include_specular and ir.meta.has_reflective
+                     and depth > 0)
+        want_refr = (cfg.include_specular and ir.meta.has_refractive
+                     and depth > 0)
+        R0 = orig.shape[0]
+        dtype = orig.dtype
+
+        levels = []
+        cur_o, cur_d = orig, dirs
+        for lvl in range(depth + 1):
+            lkey = None if key is None else jax.random.fold_in(key, lvl)
+            comps, direct, refl_act, refr_act, refr_dir = \
+                self._fwd(ir, cur_o, cur_d, lkey)
+            n = cur_o.shape[0]
+            entry = {"comps": comps, "direct": direct, "n": n,
+                     "refl_idx": None, "refr_idx": None, "child_n": 0}
+            levels.append(entry)
+            if lvl == depth or not (want_refl or want_refr):
+                break
+            refl_np = np.asarray(refl_act) if want_refl else None
+            refr_np = np.asarray(refr_act) if want_refr else None
+            os_, ds_ = [], []
+            if want_refl:
+                idx = np.nonzero(refl_np)[0]
+                entry["refl_idx"] = idx
+                if len(idx):
+                    os_.append(comps.over_point[idx])
+                    ds_.append(comps.reflectv[idx])
+            if want_refr:
+                idx = np.nonzero(refr_np)[0]
+                entry["refr_idx"] = idx
+                if len(idx):
+                    os_.append(comps.under_point[idx])
+                    ds_.append(refr_dir[idx])
+            n_child = sum(len(o) for o in os_)
+            entry["child_n"] = n_child
+            if n_child == 0:
+                break
+            bucket = _next_bucket(n_child)
+            pad = bucket - n_child
+            os_.append(jnp.full((pad, 3), 1e30, dtype))
+            ds_.append(jnp.ones((pad, 3), dtype))
+            cur_o = jnp.concatenate(os_)
+            cur_d = jnp.concatenate(ds_)
+
+        child_total: Optional[Triple] = None
+        for lvl in range(len(levels) - 1, -1, -1):
+            e = levels[lvl]
+            n = e["n"]
+            refl_raw = refr_raw = None
+            if child_total is not None and e["child_n"]:
+                off = 0
+                z = jnp.zeros((n, 3), dtype)
+                if want_refl:
+                    idx = e["refl_idx"]
+                    refl_raw = Triple(
+                        z.at[idx].set(child_total.a[off:off + len(idx)]),
+                        z.at[idx].set(child_total.d[off:off + len(idx)]),
+                        z.at[idx].set(child_total.s[off:off + len(idx)]))
+                    off += len(idx)
+                if want_refr:
+                    idx = e["refr_idx"]
+                    refr_raw = Triple(
+                        z.at[idx].set(child_total.a[off:off + len(idx)]),
+                        z.at[idx].set(child_total.d[off:off + len(idx)]),
+                        z.at[idx].set(child_total.s[off:off + len(idx)]))
+            child_total = self._combine(ir, e["comps"], e["direct"],
+                                        refl_raw, refr_raw)
+        return child_total

@@ -1,0 +1,445 @@
+"""Photon-mapped global illumination, TPU-native.
+
+The reference traces photons one at a time through a recursive Russian-
+roulette walk into Jensen kd-tree photon maps, then answers render-time
+irradiance queries with a recursive kd kNN search
+(src/renderer/photon_tracer.c, src/libs/photon_map/pm.c). Here:
+
+  * photon tracing is a *wavefront*: a whole batch advances one bounce per
+    step with keyed PRNG for emission/RR (replacing global drand48/rand);
+    each photon picks ONE RR branch so the batch never branches
+  * the kd-tree is replaced by a uniform grid over photon positions
+    (cell edge = search radius): a query gathers the 27 neighboring cells
+    (fixed per-cell budget) and top-k's the candidate distances — dense,
+    sortable, and differentiable w.r.t. photon powers
+  * the cone-filtered estimate reproduces pm_irradiance_estimate exactly:
+    weight 1 - d/(k*max_dist), normalization 1/((1-2/(3k))*pi*r^2) with
+    r^2 = the kth-nearest distance^2 when more than k candidates lie in
+    range else max_dist^2, >= 8 photons required, photons arriving from
+    behind `eyev` rejected (the reference passes eyev as the normal —
+    quirk preserved; pm.c:91-156)
+
+Storage-rule parity (photon_tracer.c:113-183): the caustic map stores only
+after >= 1 specular bounce, the global map only after >= 1 diffuse bounce
+(never the first diffuse hit); stored power is Kd * incident power; RR
+branch thresholds are the channel-mean diffuse/specular/transmission
+reflectances; specular/refracted continuations divide power by the mean
+reflectance (reference quirk, not standard RR normalization).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fast_ray_tracer_tpu import colors as colorlib
+from fast_ray_tracer_tpu.scene import ir as IR
+from fast_ray_tracer_tpu.scene.ir import SceneIR
+
+
+CAUSTIC, GLOBAL = 0, 1
+
+
+# ---------------------------------------------------------------------------
+# emission
+# ---------------------------------------------------------------------------
+
+def _frame_batch(n):
+    """create_coordinate_system (sampler.c:66-85), batched over (R,3)."""
+    use_x = jnp.abs(n[:, 0]) > jnp.abs(n[:, 1])
+    za = jnp.stack([n[:, 2], jnp.zeros_like(n[:, 0]), -n[:, 0]], -1)
+    za = za / jnp.sqrt((n[:, 0] ** 2 + n[:, 2] ** 2)
+                       .clip(1e-30))[:, None]
+    zb = jnp.stack([jnp.zeros_like(n[:, 0]), -n[:, 2], n[:, 1]], -1)
+    zb = zb / jnp.sqrt((n[:, 1] ** 2 + n[:, 2] ** 2)
+                       .clip(1e-30))[:, None]
+    nt = -jnp.where(use_x[:, None], za, zb)
+    nb = jnp.cross(n, nt)
+    return nt, nb
+
+
+def cosine_hemisphere(key, normals):
+    """cosine_weighted_sample_hemisphere (sampler.c:39-64) around per-ray
+    normals; also returns r1 (final_gather scales by it, renderer.c:662)."""
+    R = normals.shape[0]
+    r = jax.random.uniform(key, (R, 2), normals.dtype)
+    r1, r2 = r[:, 0], r[:, 1]
+    rad = jnp.sqrt(r2)
+    theta = 2.0 * jnp.pi * r1
+    sx = rad * jnp.cos(theta)
+    sz = rad * jnp.sin(theta)
+    sy = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2))
+    nt, nb = _frame_batch(normals)
+    d = sx[:, None] * nb + sy[:, None] * normals + sz[:, None] * nt
+    d = d / jnp.sqrt(jnp.sum(d * d, -1, keepdims=True).clip(1e-30))
+    return d, r1
+
+
+def emit_photons(ir: SceneIR, li: int, key, n: int, dtype):
+    """light->emit_photon for a batch (light.c:14-97)."""
+    typ = ir.meta.light_info[li][0]
+    k1, k2 = jax.random.split(key)
+    if typ == IR.LIGHT_POINT:
+        # uniform sphere direction (rejection-sampled ball, normalized)
+        v = jax.random.normal(k1, (n, 3), dtype)
+        d = v / jnp.sqrt(jnp.sum(v * v, -1, keepdims=True).clip(1e-30))
+        o = jnp.broadcast_to(ir.light_pos[li][None], (n, 3))
+        return o, d
+    if typ == IR.LIGHT_AREA:
+        usteps = ir.meta.light_info[li][1]
+        vsteps = ir.meta.light_info[li][2]
+        r = jax.random.uniform(k1, (n, 2), dtype)
+        # stored uvec/vvec are per-step; full edge = step * steps
+        o = (ir.light_pos[li][None]
+             + (r[:, 0] * usteps)[:, None] * ir.light_uvec[li][None]
+             + (r[:, 1] * vsteps)[:, None] * ir.light_vvec[li][None])
+        nvec = jnp.cross(ir.light_uvec[li], ir.light_vvec[li])
+        nvec = nvec / jnp.sqrt(jnp.sum(nvec * nvec).clip(1e-30))
+        d, _ = cosine_hemisphere(k2, jnp.broadcast_to(nvec[None], (n, 3)))
+        return o, d
+    if typ in (IR.LIGHT_CIRCLE, IR.LIGHT_HEMISPHERE):
+        if typ == IR.LIGHT_CIRCLE:
+            S = ir.meta.light_info[li][4]
+            idx = jax.random.randint(k1, (n,), 0, S)
+            o = ir.light_points[li, idx]
+        else:
+            o = jnp.broadcast_to(ir.light_pos[li][None], (n, 3))
+        nvec = ir.light_normal[li]
+        d, _ = cosine_hemisphere(k2, jnp.broadcast_to(nvec[None], (n, 3)))
+        return o, d
+    raise ValueError(f"unsupported light type {typ}")
+
+
+# ---------------------------------------------------------------------------
+# photon tracing wavefront
+# ---------------------------------------------------------------------------
+
+def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
+                       key):
+    """Trace one photon batch through gi_path_length bounces.
+
+    Returns stacked per-level (pos, stored_power, inc_dir, store_mask)
+    with shapes (L*n, ...)."""
+    from fast_ray_tracer_tpu.render.integrator import (
+        prepare_computations, refract_active, refract_direction,
+    )
+    cfg = rt.cfg
+    n = orig.shape[0]
+    dtype = orig.dtype
+    alive = jnp.ones((n,), bool)
+    had_d = jnp.zeros((n,), bool)
+    had_s = jnp.zeros((n,), bool)
+    outs = []
+    for step in range(cfg.gi_path_length):
+        kkey = jax.random.fold_in(key, step)
+        comps = prepare_computations(ir, rt, orig, dirs,
+                                     shadow_filter=True)
+        alive = alive & comps.valid \
+            & jnp.any(power > 0.0, axis=-1)       # dead/shadow photons stop
+        kd = comps.over_Kd
+        stored_power = kd * power
+        diffuse_ok = jnp.any(kd > 0.0, axis=-1)
+        if map_type == CAUSTIC:
+            store = alive & diffuse_ok & had_s
+        else:
+            store = alive & diffuse_ok & had_d
+        outs.append((comps.p, stored_power, dirs, store))
+        if step == cfg.gi_path_length - 1:
+            break
+
+        # russian roulette (photon_tracer.c:157-181): one uniform draws
+        # the branch; caustic pass never bounces diffusely
+        avg_d = jnp.mean(kd, axis=-1)
+        avg_s = jnp.mean(comps.over_refl, axis=-1)
+        avg_t = jnp.mean(ir.mat_Tf[comps.mat], axis=-1)
+        if map_type == CAUSTIC:
+            avg_d = jnp.zeros_like(avg_d)
+        r = jax.random.uniform(jax.random.fold_in(kkey, 1), (n,), dtype)
+        total = avg_d + avg_s + avg_t
+        x = r * total
+        go_d = x < avg_d
+        go_s = ~go_d & (x < avg_d + avg_s)
+        go_t = ~go_d & ~go_s & (x < total)
+        # branch validity (reflect_photon_specular/refract_photon guards)
+        go_s = go_s & ir.mat_reflective[comps.mat]
+        go_t = go_t & (jnp.abs(ir.mat_Tr[comps.mat]) >= 1e-5) \
+            & refract_active(comps)
+
+        d_diff, _ = cosine_hemisphere(jax.random.fold_in(kkey, 2),
+                                      comps.normalv)
+        d_refr = refract_direction(comps)
+        new_dir = jnp.where(go_d[:, None], d_diff,
+                            jnp.where(go_s[:, None], comps.reflectv,
+                                      d_refr))
+        new_orig = jnp.where(go_t[:, None], comps.under_point,
+                             comps.over_point)
+        safe = lambda a: jnp.where(a > 0, a, 1.0)
+        new_power = jnp.where(
+            go_d[:, None], stored_power,
+            jnp.where(go_s[:, None], power / safe(avg_s)[:, None],
+                      power / safe(avg_t)[:, None]))
+        had_d = had_d | (alive & go_d)
+        had_s = had_s | (alive & (go_s | go_t))
+        alive = alive & (go_d | go_s | go_t)
+        power = new_power
+        # park dead photons outside the scene
+        orig = jnp.where(alive[:, None], new_orig, 1e30)
+        dirs = jnp.where(alive[:, None], new_dir, 1.0)
+
+    pos = jnp.concatenate([o[0] for o in outs])
+    pw = jnp.concatenate([o[1] for o in outs])
+    dr = jnp.concatenate([o[2] for o in outs])
+    st = jnp.concatenate([o[3] for o in outs])
+    return pos, pw, dr, st
+
+
+class PhotonMap(NamedTuple):
+    """Grid-bucketed photon storage (device) + static grid geometry."""
+    pos: jnp.ndarray         # (N,3) sorted by cell
+    power: jnp.ndarray       # (N,3)
+    inc_dir: jnp.ndarray     # (N,3) direction of travel at the hit
+    cell_start: jnp.ndarray  # (n_cells+1,) i32 CSR offsets
+    grid_origin: Tuple[float, float, float]
+    cell_size: float
+    dims: Tuple[int, int, int]
+    cap: int                 # per-cell gather budget
+    n: int
+
+
+def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
+                     radius: float, dtype) -> Optional[PhotonMap]:
+    """Host-side grid build: cell edge = search radius so a query touches
+    exactly the 27 neighboring cells."""
+    n = len(pos)
+    if n == 0:
+        return None
+    origin = pos.min(axis=0) - 1e-6
+    extent = pos.max(axis=0) - origin + 1e-6
+    dims = np.maximum(1, np.ceil(extent / radius).astype(np.int64) + 1)
+    cell = np.minimum(np.floor((pos - origin) / radius).astype(np.int64),
+                      dims - 1)
+    cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    order = np.argsort(cid, kind="stable")
+    cid = cid[order]
+    n_cells = int(dims[0] * dims[1] * dims[2])
+    counts = np.bincount(cid, minlength=n_cells)
+    start = np.zeros(n_cells + 1, np.int64)
+    np.cumsum(counts, out=start[1:])
+    cap = int(min(counts.max(), max(64, int(np.percentile(
+        counts[counts > 0], 99.5)))))
+    return PhotonMap(
+        pos=jnp.asarray(pos[order], dtype),
+        power=jnp.asarray(power[order], dtype),
+        inc_dir=jnp.asarray(dirs[order], dtype),
+        cell_start=jnp.asarray(start, jnp.int32),
+        grid_origin=tuple(float(x) for x in origin),
+        cell_size=float(radius), dims=tuple(int(x) for x in dims),
+        cap=cap, n=n)
+
+
+def trace_photons(ir: SceneIR, rt, key, dtype,
+                  caustic: bool, global_: bool, batch: int = 16384):
+    """trace_photons (photon_tracer.c:202-257): apportion photons among
+    lights by CIE-Lab lightness of their intensity, trace until each
+    light's target count is *stored*, scale powers by 1/photon_count."""
+    cfg = rt.cfg
+    num_photons = cfg.photon_count
+    L_vals = [float(np.asarray(colorlib.rgb_to_lab(
+        np.asarray(ir.light_intensity[li], np.float64)))[0])
+        for li in range(ir.meta.n_lights)]
+    total_l = sum(L_vals) or 1.0
+    targets = [int(num_photons * l / total_l) for l in L_vals]
+
+    step_fn = jax.jit(partial(photon_bounce_wave, ir, rt),
+                      static_argnums=(0,))
+
+    maps = {}
+    for map_type, enabled in ((CAUSTIC, caustic), (GLOBAL, global_)):
+        if not enabled:
+            maps[map_type] = None
+            continue
+        P, W, D = [], [], []
+        stored = 0
+        want = sum(targets)
+        it = 0
+        for li in range(ir.meta.n_lights):
+            got = 0
+            while got < targets[li]:
+                k = jax.random.fold_in(key, 7919 * map_type + 31 * li + it)
+                it += 1
+                o, d = emit_photons(ir, li, k, batch, dtype)
+                power = jnp.broadcast_to(ir.light_intensity[li][None],
+                                         (batch, 3)).astype(dtype)
+                pos, pw, dr, st = step_fn(map_type, o, d, power,
+                                          jax.random.fold_in(k, 1))
+                st = np.asarray(st)
+                take = np.nonzero(st)[0]
+                # stop exactly at the target (reference overshoots by at
+                # most one path; we truncate the final batch)
+                take = take[: targets[li] - got]
+                P.append(np.asarray(pos)[take])
+                W.append(np.asarray(pw)[take])
+                D.append(np.asarray(dr)[take])
+                got += len(take)
+                if len(take) == 0 and it > 10000:
+                    break       # scene stores nothing (no diffuse surfaces)
+        if P and sum(len(p) for p in P):
+            pos = np.concatenate(P)
+            pw = np.concatenate(W) / float(num_photons)
+            dr = np.concatenate(D)
+            maps[map_type] = build_photon_map(
+                pos, pw, dr, cfg.irradiance_estimate_radius, dtype)
+        else:
+            maps[map_type] = None
+    return maps
+
+
+# ---------------------------------------------------------------------------
+# irradiance estimate (render-time query)
+# ---------------------------------------------------------------------------
+
+def irradiance_estimate(pm: PhotonMap, points, eyev, num: int,
+                        max_dist: float, cone_k: float):
+    """pm_irradiance_estimate (pm.c:91-156) batched: returns (irrad (R,3),
+    found (R,))."""
+    R = points.shape[0]
+    dtype = points.dtype
+    dims = pm.dims
+    org = jnp.asarray(pm.grid_origin, dtype)
+    cell = jnp.floor((points - org) / pm.cell_size).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, jnp.asarray(dims, jnp.int32) - 1)
+
+    cand_d2 = []
+    cand_idx = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                c = cell + jnp.asarray([ox, oy, oz], jnp.int32)
+                inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)),
+                              axis=-1)
+                cidx = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+                cidx = jnp.where(inb, cidx, 0)
+                s = pm.cell_start[cidx]
+                e = pm.cell_start[cidx + 1]
+                idx = s[:, None] + jnp.arange(pm.cap)[None]      # (R,cap)
+                ok = (idx < e[:, None]) & inb[:, None]
+                idx = jnp.clip(idx, 0, pm.n - 1)
+                p = pm.pos[idx]                                   # (R,cap,3)
+                d2 = jnp.sum((p - points[:, None]) ** 2, -1)
+                cand_d2.append(jnp.where(ok, d2, jnp.inf))
+                cand_idx.append(idx)
+    d2 = jnp.concatenate(cand_d2, axis=-1)          # (R, 27*cap)
+    idx = jnp.concatenate(cand_idx, axis=-1)
+
+    in_range = d2 < max_dist * max_dist
+    k = min(num, d2.shape[-1])
+    top_negd2, top_i = jax.lax.top_k(-jnp.where(in_range, d2, jnp.inf), k)
+    top_d2 = -top_negd2                              # ascending distances
+    top_valid = jnp.isfinite(top_d2)
+    # the reference's `found` is the heap population: capped at `num`
+    # (pm.c:198-207) — the 10*num/found amplification never drops below 10
+    found = jnp.minimum(jnp.sum(in_range, axis=-1), num)
+    # r^2: kth-nearest distance^2 once the heap is full, else max_dist^2
+    r2 = jnp.where(found >= num, top_d2[:, -1],
+                   jnp.asarray(max_dist * max_dist, dtype))
+
+    gidx = jnp.take_along_axis(idx, top_i, axis=-1)
+    pw = pm.power[gidx]                              # (R,k,3)
+    pdir = pm.inc_dir[gidx]
+    w = 1.0 - jnp.sqrt(jnp.maximum(top_d2, 0.0)) / (cone_k * max_dist)
+    front = jnp.sum(pdir * eyev[:, None], -1) < 0.0
+    use = top_valid & front
+    irr = jnp.sum(jnp.where(use[..., None], pw * w[..., None], 0.0), axis=1)
+    norm = 1.0 / ((1.0 - 2.0 / (3.0 * cone_k)) * jnp.pi * r2)
+    irr = irr * norm[:, None]
+    irr = jnp.where((found >= 8)[:, None], irr, 0.0)
+    return irr, found
+
+
+# ---------------------------------------------------------------------------
+# render-time GI terms
+# ---------------------------------------------------------------------------
+
+def lighting_gi(ir: SceneIR, rt, pm: PhotonMap, comps, cfg):
+    """renderer.c:862-892: global-map visualization / gather-ray radiance.
+    In visualize mode the raw scaled estimate is returned (renderer.c:880)."""
+    est, found = irradiance_estimate(
+        pm, comps.over_point, comps.eyev, cfg.irradiance_estimate_num,
+        cfg.irradiance_estimate_radius, cfg.irradiance_estimate_cone_filter_k)
+    scale = jnp.where(found > 0,
+                      10.0 * cfg.irradiance_estimate_num
+                      / jnp.maximum(found, 1).astype(est.dtype), 0.0)
+    est = est * scale[:, None]
+    if cfg.visualize_photon_map:
+        return est
+    ndote = jnp.sum(comps.eyev * comps.normalv, -1)
+    return comps.over_Kd * est * ndote[:, None]
+
+
+def lighting_caustics(ir: SceneIR, rt, pm: PhotonMap, comps, cfg):
+    """renderer.c:829-860: cone-filtered caustic estimate * 100/n."""
+    est, found = irradiance_estimate(
+        pm, comps.over_point, comps.eyev, cfg.irradiance_estimate_num,
+        cfg.irradiance_estimate_radius, cfg.irradiance_estimate_cone_filter_k)
+    scale = jnp.where(found > 0,
+                      100.0 / jnp.maximum(found, 1).astype(est.dtype), 0.0)
+    est = est * scale[:, None]
+    ndote = jnp.sum(comps.eyev * comps.normalv, -1)
+    caustic = comps.over_Kd * est * ndote[:, None]
+    return jnp.where(jnp.any(comps.over_Kd > 0.0, -1)[:, None], caustic,
+                     0.0)
+
+
+def color_at_gi(ir: SceneIR, rt, pm_global: PhotonMap, orig, dirs, cfg):
+    """renderer.c:319-345,626-653: one-bounce gather radiance = pi *
+    lighting_gi at the gather hit (no recursion)."""
+    from fast_ray_tracer_tpu.render.integrator import prepare_computations
+    comps = prepare_computations(ir, rt, orig, dirs)
+    c = jnp.pi * lighting_gi(ir, rt, pm_global, comps, cfg)
+    gate = comps.valid & jnp.any(comps.over_Kd > 0.0, -1)
+    return jnp.where(gate[:, None], c, 0.0)
+
+
+def final_gather(ir: SceneIR, rt, pm_global: PhotonMap, comps, key, cfg):
+    """renderer.c:647-687: gi_usteps x gi_vsteps cosine-weighted hemisphere
+    rays, each scaled by its first random coordinate (the reference's
+    'scale by theta' quirk), averaged with pdf_inv = 2*pi, times Kd."""
+    R = comps.p.shape[0]
+    dtype = comps.p.dtype
+    S = cfg.gi_usteps * cfg.gi_vsteps
+    total = jnp.zeros((R, 3), dtype)
+    for s in range(S):
+        ks = jax.random.fold_in(key, s)
+        d, r1 = cosine_hemisphere(ks, comps.normalv)
+        c = color_at_gi(ir, rt, pm_global, comps.over_point, d, cfg)
+        total = total + c * r1[:, None]
+    total = total * (2.0 * jnp.pi / S)
+    return total * comps.over_Kd
+
+
+def make_gi_hook(pmaps, cfg):
+    """The _gi_hook consumed by shade_direct (integrator.py): returns the
+    ambient-channel GI addition per shading point (clamp applied there)."""
+    pm_caustic = pmaps.get(CAUSTIC)
+    pm_global = pmaps.get(GLOBAL)
+
+    def hook(ir, rt, comps, key):
+        R = comps.p.shape[0]
+        add = jnp.zeros((R, 3), comps.p.dtype)
+        gate = jnp.any(comps.over_Kd > 0.0, -1)
+        if cfg.visualize_photon_map and pm_global is not None:
+            add = add + lighting_gi(ir, rt, pm_global, comps, cfg)
+        if cfg.include_final_gather and pm_global is not None:
+            k = key if key is not None else jax.random.PRNGKey(0)
+            add = add + final_gather(ir, rt, pm_global, comps,
+                                     jax.random.fold_in(k, 99), cfg)
+        if cfg.include_caustics and pm_caustic is not None:
+            add = add + lighting_caustics(ir, rt, pm_caustic, comps, cfg)
+        return jnp.where(gate[:, None], add, 0.0)
+
+    return hook

@@ -28,7 +28,7 @@ from fast_ray_tracer_tpu.render.camera import (
     build_camera, rays_for_pixels, sample_aperture,
 )
 from fast_ray_tracer_tpu.render.integrator import (
-    Triple, build_statics, color_at,
+    CompactTracer, Triple, build_statics, color_at,
 )
 
 
@@ -63,10 +63,29 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     cam_rt = build_camera(cam, dtype=dtype)
     rt = build_statics(ir, scene.config)
 
+    # photon pass (generated main: trace_photons before rendering,
+    # yaml_parser.py:201-216)
+    cfg = scene.config
+    use_gi = (cfg.include_global or cfg.visualize_photon_map
+              or cfg.visualize_soft_indirect)
+    if cfg.photon_count > 0 and use_gi:
+        from fast_ray_tracer_tpu.render import photon
+        pm_key = jax.random.PRNGKey(1234) if key is None else \
+            jax.random.fold_in(key, 12345)
+        # maps populated exactly as the generated main does
+        # (yaml_parser.py:201-216): caustic iff include_caustics, global
+        # iff include_final_gather
+        pmaps = photon.trace_photons(
+            ir, rt, pm_key, dtype,
+            caustic=cfg.include_caustics,
+            global_=cfg.include_final_gather)
+        cfg._gi_hook = photon.make_gi_hook(pmaps, cfg)
+
     needs_rng = (cam.aperture.jitter or cam.aperture.kind not in
                  ("POINT_APERTURE", "HEXAGONAL_APERTURE",
                   "PENTAGONAL_APERTURE", "OCTAGONAL_APERTURE")
-                 or any(info[3] for info in ir.meta.light_info))
+                 or any(info[3] for info in ir.meta.light_info)
+                 or (cfg.photon_count > 0 and use_gi))
     if needs_rng and key is None:
         key = jax.random.PRNGKey(0)
     if not needs_rng:
@@ -80,8 +99,13 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     # pixels, matching sampler reset semantics)
     det_table = jnp.asarray(cmj_points_static(cam.usteps, cam.vsteps), dtype)
 
+    # active-lane compaction pays off whenever the bounce tree is real
+    use_compact = ir.meta.has_reflective or ir.meta.has_refractive \
+        or getattr(scene.config, "_gi_hook", None) is not None
+    tracer = CompactTracer(ir, rt) if use_compact else None
+
     @partial(jax.jit, static_argnums=())
-    def render_chunk(ir_in, px, py, chunk_key):
+    def chunk_rays(px, py, chunk_key):
         n = px.shape[0]
         # subpixel sample table per pixel: (n, S, 2)
         if chunk_key is None or not cam.aperture.jitter:
@@ -97,11 +121,33 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         uv_r = uv.reshape(n * S, 2)
         ap = sample_aperture(cam_rt, n * S,
                              None if ap_key is None else ap_key, dtype)
+        return rays_for_pixels(cam_rt, px_r, py_r, uv_r, ap)
+
+    @partial(jax.jit, static_argnums=())
+    def render_chunk(ir_in, px, py, chunk_key):
+        orig, dirs = chunk_rays(px, py, chunk_key)
         ray_key = None
         if chunk_key is not None:
             ray_key = jax.random.fold_in(chunk_key, 1)
-        return pixel_colors(ir_in, rt, cam_rt, px_r, py_r, uv_r, ap,
-                            S, path_length, ray_key)
+        triple = color_at(ir_in, rt, orig, dirs, path_length, ray_key)
+        return _avg(triple)
+
+    def _avg(triple):
+        n = triple.a.shape[0] // S
+        a = triple.a.reshape(n, S, 3).mean(axis=1)
+        d = triple.d.reshape(n, S, 3).mean(axis=1)
+        s = triple.s.reshape(n, S, 3).mean(axis=1)
+        return (a + d + s) / 3.0
+
+    avg_jit = jax.jit(_avg)
+
+    def render_chunk_compact(ir_in, px, py, chunk_key):
+        orig, dirs = chunk_rays(px, py, chunk_key)
+        ray_key = None
+        if chunk_key is not None:
+            ray_key = jax.random.fold_in(chunk_key, 1)
+        triple = tracer.trace(ir_in, orig, dirs, path_length, ray_key)
+        return avg_jit(triple)
 
     total = W * H
     xs = np.tile(np.arange(W, dtype=np.int32), H)
@@ -116,7 +162,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
         py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
         ck = None if key is None else jax.random.fold_in(key, c)
-        res = render_chunk(ir, jnp.asarray(px), jnp.asarray(py), ck)
+        fn = render_chunk_compact if use_compact else render_chunk
+        res = fn(ir, jnp.asarray(px), jnp.asarray(py), ck)
         out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
         if progress:
             print(f"chunk {c + 1}/{n_chunks}", flush=True)
