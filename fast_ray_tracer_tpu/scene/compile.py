@@ -125,10 +125,30 @@ class _Tables:
         if file in self.tex_by_file:
             return self.tex_by_file[file]
         from fast_ray_tracer_tpu.io.ppm import read_png, read_ppm
-        path = file
-        if not os.path.exists(path):
-            path = os.path.join(self.root_dir, file)
-        if not os.path.exists(path):
+        from fast_ray_tracer_tpu.scene.obj_loader import _resolve
+        # non-png/ppm files: the reference converts to and reads a sibling
+        # .png (yaml_parser/pattern.py:255-261)
+        lookup = file
+        if not (file.endswith(".png") or file.endswith(".ppm")):
+            lookup = file[:-3] + "png"
+        path = _resolve(lookup, self.root_dir)
+        if path is None and lookup != file:
+            src = _resolve(file, self.root_dir)
+            if src is not None:
+                from PIL import Image
+                path = src[:-3] + "png"
+                try:
+                    Image.open(src).save(path)
+                except OSError:
+                    # source dir read-only: convert into a tmp cache
+                    import hashlib
+                    import tempfile
+                    h = hashlib.sha1(src.encode()).hexdigest()[:16]
+                    path = os.path.join(tempfile.gettempdir(),
+                                        f"frt_tex_{h}.png")
+                    if not os.path.exists(path):
+                        Image.open(src).save(path)
+        if path is None:
             raise FileNotFoundError(f"texture not found: {file}")
         decode = self.decode if decode_to_linear else None
         if path.endswith(".ppm"):

@@ -72,6 +72,38 @@ def test_teapot_bitwise():
     assert ours == golden
 
 
+FEATURE_SCENES = [
+    # (golden name, scene path rel to REFERENCE, max differing pixels)
+    ("checkered_cube", "scenes/checkered_cube/checkered_cube.yml", 0),
+    ("checkered_cylinder", "scenes/checkered_cylinder/checkered_cylinder.yml", 0),
+    ("checkered_torus", "scenes/checkered_torus/checkered_torus.yml", 0),
+    ("align_check_plane", "scenes/align_check_plane/align_check_plane.yml", 0),
+    # one cone/cylinder silhouette pixel flips on FP ties
+    ("group_test", "scenes/group_test/group.yml", 4),
+    ("reflect_refract_test", "scenes/reflect_refract_test/test.yml", 0),
+    ("test", "scenes/test/test.yml", 0),
+    ("texture_map_test", "scenes/texture_map_test/texture_map_test.yml", 0),
+    ("spec_map_test", "scenes/spec_map_test/spec_map_test.yml", 0),
+    # the cube's front face lies exactly on the plane-map v discontinuity
+    # (obj z = -1.0): +-1 ulp flips texel row 255<->0, so pixels whose FP
+    # error sign differs from the reference's flip texels (62 of 160000)
+    ("bump_map_test", "scenes/bump_map_test/bump_map_test.yml", 200),
+]
+
+
+@pytest.mark.parametrize("name,rel,max_diff",
+                         FEATURE_SCENES, ids=[s[0] for s in FEATURE_SCENES])
+def test_feature_scene(name, rel, max_diff):
+    golden = _golden(name)
+    ours = _render_ppm(REFERENCE / rel, chunk_pixels=20000)
+    if ours == golden:
+        return
+    assert max_diff > 0, f"{name} differs but should be byte-identical"
+    a, g = _decode(ours), _decode(golden)
+    d = np.abs(a - g).max(axis=-1)
+    assert int((d > 0).sum()) <= max_diff, (int((d > 0).sum()), int(d.max()))
+
+
 def test_csg_bitwise():
     """Difference, intersection, and a nested difference(union(...), ...)
     tree (the structure of cornell_box's right wall)."""
