@@ -1,0 +1,92 @@
+"""Checkpoint/resume for renders and inverse-rendering runs.
+
+The reference has no checkpointing at all: the canvas lives in memory and
+is dumped once at the end, so a killed render loses everything
+(SURVEY.md §5; src/libs/canvas/canvas.c:303-327). Here both long-running
+loops are resumable:
+
+  * training (parallel/train.py): orbax-checkpointed TrainState
+    (params + optimizer state) + PRNG key + step counter, with async
+    save and automatic latest-step restore;
+  * rendering (render/render.py): the chunk loop is deterministic in the
+    (key, chunk_index) pair, so a render checkpoint is just the canvas
+    array + number of completed chunks.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from fast_ray_tracer_tpu.parallel.train import TrainState
+
+
+def _mgr(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True),
+    )
+
+
+def save_train_state(directory: str, step: int, state: TrainState,
+                     key=None, wait: bool = False) -> None:
+    """Checkpoint a TrainState (+ optional PRNG key) at `step`."""
+    import orbax.checkpoint as ocp
+    mgr = _mgr(directory)
+    item = {"params": state.params, "opt_state": state.opt_state}
+    if key is not None:
+        item["key"] = jax.random.key_data(key)
+    mgr.save(step, args=ocp.args.StandardSave(item))
+    if wait:
+        mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore_train_state(directory: str, example: TrainState,
+                        key=None) -> Optional[Tuple[int, TrainState, Any]]:
+    """Restore the latest checkpoint, or None if the directory is empty.
+    `example` supplies the pytree structure/dtypes."""
+    import orbax.checkpoint as ocp
+    if not os.path.isdir(directory):
+        return None
+    mgr = _mgr(directory)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None
+    tmpl = {"params": example.params, "opt_state": example.opt_state}
+    if key is not None:
+        tmpl["key"] = jax.random.key_data(key)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
+    mgr.close()
+    out_key = None
+    if "key" in restored:
+        out_key = jax.random.wrap_key_data(restored["key"])
+    return step, TrainState(restored["params"], restored["opt_state"]), out_key
+
+
+def save_render_progress(path: str, canvas: np.ndarray,
+                         chunks_done: int, total_chunks: int,
+                         seed: Optional[int]) -> None:
+    """Atomic snapshot of a partially rendered canvas."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({"canvas": np.asarray(canvas),
+                     "chunks_done": int(chunks_done),
+                     "total_chunks": int(total_chunks),
+                     "seed": seed}, f)
+    os.replace(tmp, path)
+
+
+def load_render_progress(path: str):
+    """-> dict with canvas/chunks_done/total_chunks/seed, or None."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)

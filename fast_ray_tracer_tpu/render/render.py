@@ -51,12 +51,20 @@ def pixel_colors(ir: SceneIR, rt, cam_rt, px_r, py_r, uv_r, ap,
 
 def render_scene(scene: SceneDesc, dtype=jnp.float32,
                  chunk_pixels: int = 8192, key=None,
-                 progress: bool = False) -> np.ndarray:
+                 progress: bool = False,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 8) -> np.ndarray:
     """Render a scene to an (H, W, 3) float canvas (linear, pre-encode).
 
     Deterministic configs (no jitter, point aperture) need no key and
     reproduce the reference renderer's output; stochastic configs take a
     jax PRNG key replacing the reference's global drand48.
+
+    With `checkpoint_path` the chunk loop snapshots the partial canvas
+    every `checkpoint_every` chunks and resumes from the snapshot on
+    restart (new capability vs the reference, which loses a killed render
+    — SURVEY.md §5). Chunks are deterministic in (key, chunk index), so a
+    resumed render is identical to an uninterrupted one.
     """
     ir = compile_scene(scene, dtype=dtype)
     cam = scene.camera
@@ -154,7 +162,17 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     ys = np.repeat(np.arange(H, dtype=np.int32), W)
     out = np.zeros((total, 3), dtype=np.float64)
     n_chunks = math.ceil(total / chunk_pixels)
-    for c in range(n_chunks):
+    start_chunk = 0
+    if checkpoint_path is not None:
+        from fast_ray_tracer_tpu.parallel.checkpoint import (
+            load_render_progress, save_render_progress,
+        )
+        snap = load_render_progress(checkpoint_path)
+        if snap is not None and snap["total_chunks"] == n_chunks \
+                and snap["canvas"].shape == (total, 3):
+            out = snap["canvas"]
+            start_chunk = snap["chunks_done"]
+    for c in range(start_chunk, n_chunks):
         lo = c * chunk_pixels
         hi = min(lo + chunk_pixels, total)
         # pad the tail chunk to the fixed chunk size (one compiled program)
@@ -165,6 +183,9 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         fn = render_chunk_compact if use_compact else render_chunk
         res = fn(ir, jnp.asarray(px), jnp.asarray(py), ck)
         out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
+        if checkpoint_path is not None and (
+                (c + 1) % checkpoint_every == 0 or c + 1 == n_chunks):
+            save_render_progress(checkpoint_path, out, c + 1, n_chunks, None)
         if progress:
             print(f"chunk {c + 1}/{n_chunks}", flush=True)
     return out.reshape(H, W, 3)
