@@ -103,9 +103,11 @@ class _Tables:
         self.a_mat: List[int] = []
         self.a_csg: List[Tuple[int, int]] = []
         self.a_doc: List[int] = []        # document-order leaf id per prim
-        # triangles
+        # triangles: per-triangle rows (yaml `triangle` adds) + bulk
+        # blocks of column arrays (OBJ meshes, scene/obj_loader.py)
         self.t_rows: List[Tuple] = []     # (p1,p2,p3,n1,n2,n3,t1,t2,t3,use_tex,mat,csg,side)
         self.t_doc: List[int] = []
+        self.t_blocks: List[Dict] = []
         self.next_leaf = 0                # shared doc-order leaf counter
         # csg trees: per tree, tuple of internal nodes (depth, path, op)
         self.csg_trees: List[Tuple] = []
@@ -419,25 +421,39 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         if len(idx):
             type_ranges.append((t, int(idx[0]), int(len(idx))))
 
-    # ---- triangles ----
-    nt = len(tables.t_rows)
+    # ---- triangles (per-row entries + OBJ bulk blocks) ----
+    nr = len(tables.t_rows)
     def tcol(i, width=3):
-        if nt == 0:
+        if nr == 0:
             return np.zeros((0, width))
         return np.asarray([np.asarray(r[i], dtype=np.float64) for r in tables.t_rows])
-    tri_p1, tri_e1, tri_e2 = tcol(0), tcol(1), tcol(2)
-    tri_n1, tri_n2, tri_n3 = tcol(3), tcol(4), tcol(5)
-    tri_t1, tri_t2, tri_t3 = tcol(6, 2), tcol(7, 2), tcol(8, 2)
-    tri_use_tex = (np.asarray([r[9] for r in tables.t_rows], dtype=bool)
-                   if nt else np.zeros(0, bool))
-    tri_mat = (np.asarray([r[10] for r in tables.t_rows], dtype=np.int64)
-               if nt else np.zeros(0, np.int64))
-    tri_csg = (np.asarray([r[11] for r in tables.t_rows], dtype=np.int64)
-               if nt else np.zeros(0, np.int64))
-    tri_side = (np.asarray([r[12] for r in tables.t_rows], dtype=np.int64)
-                if nt else np.zeros(0, np.int64))
-    tri_rank = (doc_rank[np.asarray(tables.t_doc, dtype=np.int64)]
-                if nt else np.zeros(0, np.int64))
+
+    def cat(rows, key, blk_default=None):
+        parts = [rows] + [b[key] for b in tables.t_blocks]
+        return np.concatenate(parts) if parts else rows
+
+    tri_p1 = cat(tcol(0), "p1")
+    tri_e1 = cat(tcol(1), "e1")
+    tri_e2 = cat(tcol(2), "e2")
+    tri_n1 = cat(tcol(3), "n1")
+    tri_n2 = cat(tcol(4), "n2")
+    tri_n3 = cat(tcol(5), "n3")
+    tri_t1 = cat(tcol(6, 2), "t1")
+    tri_t2 = cat(tcol(7, 2), "t2")
+    tri_t3 = cat(tcol(8, 2), "t3")
+    tri_use_tex = cat(np.asarray([r[9] for r in tables.t_rows], dtype=bool)
+                      if nr else np.zeros(0, bool), "use_tex")
+    tri_mat = cat(np.asarray([r[10] for r in tables.t_rows], dtype=np.int64)
+                  if nr else np.zeros(0, np.int64), "mat")
+    tri_csg = cat(np.asarray([r[11] for r in tables.t_rows], dtype=np.int64)
+                  if nr else np.zeros(0, np.int64), "csg")
+    tri_side = cat(np.asarray([r[12] for r in tables.t_rows],
+                              dtype=np.int64)
+                   if nr else np.zeros(0, np.int64), "side")
+    tri_doc = cat(np.asarray(tables.t_doc, dtype=np.int64)
+                  if nr else np.zeros(0, np.int64), "doc")
+    nt = len(tri_p1)
+    tri_rank = doc_rank[tri_doc] if nt else np.zeros(0, np.int64)
 
     # ---- triangle clustering (large meshes) ----
     # Morton-order triangles by centroid and group into fixed-size clusters

@@ -123,14 +123,22 @@ def _fmax(a, b):
 @dataclass
 class Node:
     """Mirror of `struct shape` for the divide walk. `transform` is the
-    node's LOCAL transform (flat row-major 16)."""
-    kind: str                       # 'group' | 'csg' | leaf type name
+    node's LOCAL transform (flat row-major 16).
+
+    kind 'leafblock' is a vectorized stand-in for a run of identity-
+    transform triangle leaves (large meshes): `block_boxes` (n, 6)
+    min3|max3 object boxes, `block_ids` (n,) leaf ids. The native
+    serializer expands it in C++; the Python fallback expands it with
+    expand_leafblocks()."""
+    kind: str                       # 'group' | 'csg' | 'leafblock' | leaf
     transform: List[float]
     children: List["Node"] = field(default_factory=list)   # group
     left: Optional["Node"] = None                          # csg
     right: Optional["Node"] = None
     leaf_id: int = -1               # document-order id for leaves
     obj_box: Optional[Box] = None   # object-space bbox for primitive leaves
+    block_boxes: Optional[object] = None   # leafblock: (n, 6) float64
+    block_ids: Optional[object] = None     # leafblock: (n,) int64
     _bbox: Optional[Box] = None
     _bbox_inverse: Optional[Box] = None
 
@@ -193,6 +201,31 @@ def leaf_box(kind: str, minimum=0.0, maximum=0.0, r1=0.0, r2=0.0,
     else:
         raise ValueError(f"no bounds for {kind}")
     return b
+
+
+def expand_leafblocks(node: Node):
+    """Replace every leafblock child with its individual triangle leaves
+    (Python-fallback path; the native serializer expands in C++)."""
+    if node.kind == "csg":
+        expand_leafblocks(node.left)
+        expand_leafblocks(node.right)
+        return
+    if node.kind != "group":
+        return
+    new_children: List[Node] = []
+    for c in node.children:
+        if c.kind == "leafblock":
+            for i in range(len(c.block_ids)):
+                b = Box()
+                b.min = [float(x) for x in c.block_boxes[i, :3]]
+                b.max = [float(x) for x in c.block_boxes[i, 3:]]
+                new_children.append(Node(
+                    kind="triangle", transform=list(IDENTITY),
+                    leaf_id=int(c.block_ids[i]), obj_box=b))
+        else:
+            expand_leafblocks(c)
+            new_children.append(c)
+    node.children = new_children
 
 
 def _partition_children(g: Node):
@@ -308,7 +341,16 @@ def collect_leaf_order(node: Node, out: List[int]):
 
 
 def shadow_ranks(root: Node, threshold: int, n_leaves: int):
-    """Divide the tree, then return rank[leaf_id] = visit position."""
+    """Divide the tree, then return rank[leaf_id] = visit position.
+
+    Uses the native C++ port (native/divide_core.cpp) when available —
+    bit-identical by construction (same IEEE double op order, no FMA),
+    enforced by tests/test_native.py — falling back to the Python walk."""
+    from fast_ray_tracer_tpu import native
+    ranks = native.shadow_ranks(root, threshold, n_leaves)
+    if ranks is not None:
+        return ranks
+    expand_leafblocks(root)
     divide(root, threshold)
     order: List[int] = []
     collect_leaf_order(root, order)

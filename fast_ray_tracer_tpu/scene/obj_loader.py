@@ -135,22 +135,28 @@ def _face_token(tok: str) -> Tuple[int, int, int]:
     return v, t, n
 
 
-def load_obj_into(shape, m_world: np.ndarray, tables, csg_id: int,
-                  csg_side: int, nodes: List, m_flat: List[float]) -> None:
-    """Parse shape.file and append triangle rows + divide-sim nodes."""
-    path = _resolve(shape.file, tables.root_dir)
-    if path is None:
-        raise FileNotFoundError(f"obj not found: {shape.file}")
+class _Geometry:
+    """Raw OBJ scan result; same layout as native.ObjGeometry."""
 
-    verts: List[Tuple[float, float, float]] = []
-    texs: List[Tuple[float, float, float]] = []
-    norms: List[Tuple[float, float, float]] = []
-    # groups: name -> list of face-triangle records
-    group_order: List[str] = ["##default_group"]
-    groups: Dict[str, List] = {"##default_group": []}
-    current = "##default_group"
-    mtl_mats: Dict[str, MaterialDesc] = {}
-    cur_mat: Optional[MaterialDesc] = None
+    def __init__(self):
+        self.v = self.vt = self.vn = None
+        self.tri = None          # (ntri, 3, 3) int32 [corner][v, t, n]
+        self.use_n = self.use_t = None
+        self.group = None        # (ntri,) group index
+        self.event = None        # (ntri,) #mtl events seen at emission
+        self.group_names: List[str] = []
+        self.events: List[Tuple[str, str]] = []   # ("m"|"u", arg)
+
+
+def _scan_obj_python(path: str) -> _Geometry:
+    """Pure-Python line scanner (fallback for native.parse_obj); emits the
+    identical geometry/event stream (obj_loader.c:339-440 semantics)."""
+    g = _Geometry()
+    verts, texs, norms = [], [], []
+    tri, flags, tgroup, tevent = [], [], [], []
+    group_ids = {"##default_group": 0}
+    g.group_names = ["##default_group"]
+    current = 0
 
     with open(path) as f:
         for raw in f:
@@ -168,30 +174,72 @@ def load_obj_into(shape, m_world: np.ndarray, tables, csg_id: int,
                 toks = raw.split()[1:]
                 if len(toks) < 3:
                     continue
-                v0, t0, n0 = _face_token(toks[0])
-                use_n = n0 > 0
-                use_t = t0 > 0
+                a = _face_token(toks[0])
+                use_n = a[2] > 0
+                use_t = a[1] > 0
                 for i in range(1, len(toks) - 1):
-                    v1, t1, n1 = _face_token(toks[i])
-                    v2, t2, n2 = _face_token(toks[i + 1])
-                    groups[current].append(
-                        ((v0, v1, v2), (t0, t1, t2), (n0, n1, n2),
-                         use_n, use_t, cur_mat))
+                    b = _face_token(toks[i])
+                    c = _face_token(toks[i + 1])
+                    tri.append((a, b, c))
+                    flags.append((use_n, use_t))
+                    tgroup.append(current)
+                    tevent.append(len(g.events))
             elif raw.startswith("g "):
                 name = raw.split()[1] if len(raw.split()) > 1 else ""
-                if name not in groups:
-                    groups[name] = []
-                    group_order.append(name)
-                current = name
+                if name not in group_ids:
+                    group_ids[name] = len(group_ids)
+                    g.group_names.append(name)
+                current = group_ids[name]
             elif raw.startswith("usemtl"):
-                name = raw.split()[1]
-                if name in mtl_mats:
-                    cur_mat = mtl_mats[name]
+                g.events.append(("u", raw.split()[1]))
             elif raw.startswith("mtllib"):
-                mp = _mtl_path(raw.split()[1], tables.root_dir)
-                if mp is not None:
-                    mtl_mats.update(parse_mtl(mp, tables.decode,
-                                              tables.root_dir))
+                g.events.append(("m", raw.split()[1]))
+
+    g.v = np.asarray(verts, np.float64) if verts else np.zeros((0, 3))
+    g.vt = np.asarray(texs, np.float64) if texs else np.zeros((0, 3))
+    g.vn = np.asarray(norms, np.float64) if norms else np.zeros((0, 3))
+    nt = len(tri)
+    g.tri = (np.asarray(tri, np.int32).reshape(nt, 3, 3) if nt
+             else np.zeros((0, 3, 3), np.int32))
+    fl = np.asarray(flags, bool) if nt else np.zeros((0, 2), bool)
+    g.use_n, g.use_t = fl[:, 0], fl[:, 1]
+    g.group = np.asarray(tgroup, np.int32) if nt else np.zeros(0, np.int32)
+    g.event = np.asarray(tevent, np.int32) if nt else np.zeros(0, np.int32)
+    return g
+
+
+def load_obj_into(shape, m_world: np.ndarray, tables, csg_id: int,
+                  csg_side: int, nodes: List, m_flat: List[float]) -> None:
+    """Parse shape.file and append triangle rows + divide-sim nodes.
+
+    Geometry scanning runs in the native C++ core when available
+    (native/obj_core.cpp — the analog of the reference's native
+    obj_loader.c); assembly is vectorized numpy either way."""
+    path = _resolve(shape.file, tables.root_dir)
+    if path is None:
+        raise FileNotFoundError(f"obj not found: {shape.file}")
+
+    from fast_ray_tracer_tpu import native
+    geo = native.parse_obj(path) if native.available() else None
+    if geo is None:
+        geo = _scan_obj_python(path)
+
+    # replay the mtllib/usemtl event stream exactly as the inline scan
+    # did: mtllib extends the material dict; usemtl switches only when the
+    # name is known at that point (obj_loader.c:413-422)
+    mtl_mats: Dict[str, MaterialDesc] = {}
+    states: List[Optional[MaterialDesc]] = [None]
+    cur_mat: Optional[MaterialDesc] = None
+    for typ, arg in geo.events:
+        if typ == "m":
+            mp = _mtl_path(arg, tables.root_dir)
+            if mp is not None:
+                mtl_mats.update(parse_mtl(mp, tables.decode,
+                                          tables.root_dir))
+        else:
+            if arg in mtl_mats:
+                cur_mat = mtl_mats[arg]
+        states.append(cur_mat)
 
     yaml_mat_id = (tables.add_material(shape.material)
                    if shape.material is not None else None)
@@ -213,50 +261,93 @@ def load_obj_into(shape, m_world: np.ndarray, tables, csg_id: int,
             mtl_ids[id(m)] = tables.add_material(m)
         return mtl_ids[id(m)]
 
+    state_mat_ids = np.asarray([mat_id_for(s) for s in states], np.int64)
+
     lin = m_world[:3, :3]
     trans = m_world[:3, 3]
     nrm_m = np.linalg.inv(m_world)[:3, :3].T
-    va = np.asarray(verts, dtype=np.float64) if verts else np.zeros((0, 3))
-    na = np.asarray(norms, dtype=np.float64) if norms else np.zeros((0, 3))
-    ta = np.asarray(texs, dtype=np.float64) if texs else np.zeros((0, 3))
+    va, na, ta = geo.v, geo.vn, geo.vt
 
     result_node = div.Node(kind="group", transform=list(m_flat))
     nodes.append(result_node)
 
-    for gname in group_order:
-        tris = groups[gname]
-        if not tris:
+    nt = geo.tri.shape[0]
+    if nt == 0:
+        return
+
+    # group-major, file-order-within-group (the reference builds each
+    # named group's triangle list then groups them under the result)
+    order = np.argsort(geo.group, kind="stable")
+
+    def xform_points(m, p, t=None):
+        """Rows of m applied with the scalar op order of `m @ p (+ t)`:
+        ((m0*x + m1*y) + m2*z) (+ t)."""
+        out = [m[r, 0] * p[:, 0] + m[r, 1] * p[:, 1] + m[r, 2] * p[:, 2]
+               for r in range(3)]
+        if t is not None:
+            out = [out[r] + t[r] for r in range(3)]
+        return np.stack(out, axis=1)
+
+    vi = geo.tri[order, :, 0].astype(np.int64) - 1   # (nt, 3)
+    ti = geo.tri[order, :, 1].astype(np.int64) - 1
+    ni = geo.tri[order, :, 2].astype(np.int64) - 1
+    use_n = geo.use_n[order]
+    use_t = geo.use_t[order]
+
+    p1o, p2o, p3o = va[vi[:, 0]], va[vi[:, 1]], va[vi[:, 2]]
+    p1 = xform_points(lin, p1o, trans)
+    p2 = xform_points(lin, p2o, trans)
+    p3 = xform_points(lin, p3o, trans)
+
+    # flat normal = normalize(cross(p3o-p1o, p2o-p1o)) (triangle.c:84-91)
+    n_obj = np.cross(p3o - p1o, p2o - p1o)
+    ln = np.sqrt((n_obj * n_obj).sum(axis=1, keepdims=True))
+    n_flat = n_obj / np.where(ln > 0, ln, 1.0)
+    nf = xform_points(nrm_m, n_flat)
+    un = use_n[:, None]
+    if len(na):
+        ni_c = np.clip(ni, 0, len(na) - 1)
+        n1 = np.where(un, xform_points(nrm_m, na[ni_c[:, 0]]), nf)
+        n2 = np.where(un, xform_points(nrm_m, na[ni_c[:, 1]]), nf)
+        n3 = np.where(un, xform_points(nrm_m, na[ni_c[:, 2]]), nf)
+    else:
+        n1 = n2 = n3 = nf
+
+    ut = use_t[:, None]
+    if len(ta):
+        ti_c = np.clip(ti, 0, len(ta) - 1)
+        t1 = np.where(ut, ta[ti_c[:, 0]][:, :2], 0.0)
+        t2 = np.where(ut, ta[ti_c[:, 1]][:, :2], 0.0)
+        t3 = np.where(ut, ta[ti_c[:, 2]][:, :2], 0.0)
+    else:
+        t1 = t2 = t3 = np.zeros((nt, 2))
+
+    mat_ids = state_mat_ids[geo.event[order]]
+    doc_ids = tables.next_leaf + np.arange(nt, dtype=np.int64)
+    tables.next_leaf += nt
+
+    tables.t_blocks.append({
+        "p1": p1, "e1": p2 - p1, "e2": p3 - p1,
+        "n1": n1, "n2": n2, "n3": n3, "t1": t1, "t2": t2, "t3": t3,
+        "use_tex": use_t.copy(), "mat": mat_ids,
+        "csg": np.full(nt, csg_id, np.int64),
+        "side": np.full(nt, csg_side, np.int64),
+        "doc": doc_ids,
+    })
+
+    # object-space leaf boxes for the divide sim: per-axis min/max of the
+    # three object-space vertices (leaf_box 'triangle')
+    bmin = np.minimum(np.minimum(p1o, p2o), p3o)
+    bmax = np.maximum(np.maximum(p1o, p2o), p3o)
+    boxes = np.concatenate([bmin, bmax], axis=1)   # (nt, 6)
+
+    grp_sorted = geo.group[order]
+    for gid in range(len(geo.group_names)):
+        sel = np.nonzero(grp_sorted == gid)[0]
+        if len(sel) == 0:
             continue
         gnode = div.Node(kind="group", transform=list(div.IDENTITY))
         result_node.children.append(gnode)
-        for (vi, ti, ni, use_n, use_t, m) in tris:
-            p1o, p2o, p3o = va[vi[0] - 1], va[vi[1] - 1], va[vi[2] - 1]
-            p1 = lin @ p1o + trans
-            p2 = lin @ p2o + trans
-            p3 = lin @ p3o + trans
-            if use_n:
-                n1 = nrm_m @ na[ni[0] - 1]
-                n2 = nrm_m @ na[ni[1] - 1]
-                n3 = nrm_m @ na[ni[2] - 1]
-            else:
-                # flat normal = normalize(cross(e2, e1)) in object space
-                # (triangle.c:84-91), transformed as a normal
-                n_obj = np.cross(p3o - p1o, p2o - p1o)
-                ln = np.linalg.norm(n_obj)
-                n_obj = n_obj / (ln if ln > 0 else 1.0)
-                n1 = n2 = n3 = nrm_m @ n_obj
-            if use_t:
-                t1 = tuple(ta[ti[0] - 1][:2])
-                t2 = tuple(ta[ti[1] - 1][:2])
-                t3 = tuple(ta[ti[2] - 1][:2])
-            else:
-                t1 = t2 = t3 = (0.0, 0.0)
-            mid = mat_id_for(m)
-            tables.t_rows.append((p1, p2 - p1, p3 - p1, n1, n2, n3,
-                                  t1, t2, t3, use_t, mid, csg_id, csg_side))
-            tables.t_doc.append(tables.next_leaf)
-            gnode.children.append(div.Node(
-                kind="triangle", transform=list(div.IDENTITY),
-                leaf_id=tables.next_leaf,
-                obj_box=div.leaf_box("triangle", points=[p1o, p2o, p3o])))
-            tables.next_leaf += 1
+        gnode.children.append(div.Node(
+            kind="leafblock", transform=list(div.IDENTITY),
+            block_boxes=boxes[sel], block_ids=doc_ids[sel]))
