@@ -290,41 +290,75 @@ def intersect_candidates(ir: SceneIR, orig, dirs) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def csg_static_tables(meta, slot_prim: np.ndarray, prim_csg: np.ndarray,
-                      prim_side: np.ndarray):
-    """Static per-tree slot index lists + per-slot path bits."""
+                      prim_anc: np.ndarray, prim_side: np.ndarray):
+    """Static per-tree slot lists, ancestor/side masks, and the postorder
+    filter program with group branches resolved to per-slot indices."""
     trees = []
     slot_csg = prim_csg[slot_prim]
+    slot_anc = prim_anc[slot_prim]
     slot_side = prim_side[slot_prim]
-    for t, nodes in enumerate(meta.csg_trees):
+    for t, prog in enumerate(meta.csg_trees):
         slots = np.nonzero(slot_csg == t)[0].astype(np.int32)
-        trees.append((slots, slot_side[slots].astype(np.int32), nodes))
+        tree_prims = slot_prim[slots]
+        entries = []
+        for e in prog:
+            if e[0] == "c":
+                entries.append(e)
+            else:
+                # branch index per tree-slot (-1 = not under this group)
+                branch = np.full(len(slots), -1, np.int32)
+                for b, prims in enumerate(e[1]):
+                    for prim in prims:
+                        branch[tree_prims == prim] = b
+                entries.append(("g", len(e[1]), branch))
+        trees.append((slots, slot_anc[slots].astype(np.int32),
+                      slot_side[slots].astype(np.int32), tuple(entries)))
     return trees
 
 
-def apply_csg_filter(t_cand, csg_tables):
+def apply_csg_filter(t_cand, csg_tables, shadow: bool = False):
     """Kill intersections disallowed by the csg truth tables
     (csg_filter_intersections, src/shapes/csg.c:27-125).
 
     For each tree: sort the tree's candidate ts ascending (misses +inf sort
-    last), then process internal nodes deepest-first. At node (d, p) a
-    surviving hit toggles the node's in-left/in-right state; a hit is kept
-    iff allowed by the op's truth table evaluated against the parity of
-    surviving same-subtree hits strictly before it. Deeper trees filter
-    first, exactly like the reference's recursive csg_local_intersect."""
+    last), then run the tree's POSTORDER program: at a csg node a
+    surviving hit toggles the node's in-left/in-right state and is kept
+    iff allowed by the op's truth table; children filter their own hits
+    before the parent sees them, exactly like the recursive
+    csg_local_intersect.
+
+    shadow=True additionally applies the reference's stop_after_first_hit
+    group truncation INSIDE csg trees (group.c:104-123): at each internal
+    group, child subtrees after the first one that produced a t > 0 hit
+    contribute nothing — is_shadowed sees a partially-built csg hit list
+    (renderer.c:73-93 passes true)."""
     out = t_cand
-    for slots, sides, nodes in csg_tables:
+    for slots, ancs, sides, prog in csg_tables:
         K = len(slots)
         if K == 0:
             continue
         ts = out[:, slots]                                  # (R,K)
         order = jnp.argsort(ts, axis=-1)                    # ascending
         ts_s = jnp.take_along_axis(ts, order, axis=-1)
+        anc_s = jnp.asarray(ancs)[order]                    # (R,K)
         side_s = jnp.asarray(sides)[order]                  # (R,K)
         alive = jnp.isfinite(ts_s)
-        for depth, path, op in sorted(nodes, key=lambda n: -n[0]):
-            mask_bits = (1 << depth) - 1
-            in_node = alive & ((side_s & mask_bits) == path)
-            lhit = (side_s >> depth) & 1 == 0
+        for e in prog:
+            if e[0] == "g":
+                if not shadow:
+                    continue
+                n_branches, branch = e[1], e[2]
+                branch_s = jnp.asarray(branch)[order]       # (R,K)
+                stopped = jnp.zeros(ts_s.shape[0], bool)
+                for b in range(n_branches):
+                    member = branch_s == b
+                    alive = alive & ~(member & stopped[:, None])
+                    pos_b = jnp.any(member & alive & (ts_s > 0), axis=-1)
+                    stopped = stopped | pos_b
+                continue
+            _, nid, op = e
+            in_node = alive & (((anc_s >> nid) & 1) == 1)
+            lhit = (side_s >> nid) & 1 == 0
             l_tog = (in_node & lhit).astype(jnp.int32)
             r_tog = (in_node & ~lhit).astype(jnp.int32)
             inl = (jnp.cumsum(l_tog, axis=-1) - l_tog) % 2 == 1

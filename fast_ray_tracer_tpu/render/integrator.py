@@ -90,10 +90,12 @@ def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
     if meta.has_csg:
         prim_csg = np.concatenate([np.asarray(ir.csg_leaf),
                                    np.asarray(ir.tri_csg_leaf)])
+        prim_anc = np.concatenate([np.asarray(ir.csg_anc),
+                                   np.asarray(ir.tri_csg_anc)])
         prim_side = np.concatenate([np.asarray(ir.csg_side),
                                     np.asarray(ir.tri_csg_side)])
         csg_tables = tuple(csg_static_tables(meta, slot_prim, prim_csg,
-                                             prim_side))
+                                             prim_anc, prim_side))
     return RenderStatics(slot_prim=slot_prim, prim_mat=prim_mat,
                          slot_shadow=slot_shadow, slot_rank=slot_rank,
                          prim_ni=prim_ni, tri_rank=tri_rank,
@@ -292,7 +294,9 @@ def is_shadowed(ir: SceneIR, rt: RenderStatics, light_pts, p, active=None):
     df = dist.reshape(R * S)
     t_cand = intersect_candidates(ir, o, d)
     if ir.meta.has_csg:
-        t_cand = apply_csg_filter(t_cand, rt.csg_tables)
+        # shadow=True: is_shadowed passes stop_after_first_hit, which
+        # truncates group walks INSIDE csg trees (renderer.c:73-93)
+        t_cand = apply_csg_filter(t_cand, rt.csg_tables, shadow=True)
     if not ir.meta.use_clusters:
         shadowed = shadow_hit_early_exit(t_cand, rt.slot_rank,
                                          rt.slot_shadow, df)
@@ -604,6 +608,180 @@ def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         total = combine_specular(ir, rt, comps, direct, refl_raw, refr_raw)
         child_total = total.mask(comps.valid)
     return child_total
+
+
+def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
+                   key, buckets):
+    """Wavefront trace with DEVICE-SIDE static-bucket compaction.
+
+    The statically-unrolled `trace` doubles the lane count every level
+    (2^depth growth) whether or not lanes can spawn children; host-driven
+    compaction (CompactTracer) fixes that on CPU but its per-level host
+    syncs cost ~10-100 ms each through a TPU tunnel. Here compaction runs
+    on device with static shapes: each level's child slots are gathered
+    with jnp.nonzero(size=B) into a fixed bucket of B lanes (buckets[lvl],
+    a compile-time constant), and the upward combine scatters child
+    results back through the same index array. No host syncs, one
+    compiled program, linear memory.
+
+    Correctness: per-lane arithmetic is identical to `trace` (deterministic
+    scenes stay byte-identical); each child occupies exactly one slot. If
+    a level's live children exceed its bucket the surplus lanes would be
+    dropped, so the returned `overflow` flag (scalar bool) must be checked
+    once per chunk — when True the caller re-renders the chunk with the
+    exact path (render.py does this automatically).
+    """
+    cfg = rt.cfg
+    want_refl = cfg.include_specular and ir.meta.has_reflective and depth > 0
+    want_refr = cfg.include_specular and ir.meta.has_refractive and depth > 0
+    if not (want_refl or want_refr):
+        comps = prepare_computations(ir, rt, orig, dirs)
+        direct = shade_direct(ir, rt, comps, key)
+        return combine_specular(ir, rt, comps, direct, None,
+                                None).mask(comps.valid), jnp.bool_(False)
+
+    dtype = orig.dtype
+    levels = []
+    overflow = jnp.bool_(False)
+    cur_o, cur_d = orig, dirs
+    for lvl in range(depth + 1):
+        lkey = None if key is None else jax.random.fold_in(key, lvl)
+        comps = prepare_computations(ir, rt, cur_o, cur_d)
+        direct = shade_direct(ir, rt, comps, lkey)
+        n = cur_o.shape[0]
+        entry = {"comps": comps, "direct": direct, "n": n, "idx": None}
+        levels.append(entry)
+        if lvl == depth:
+            break
+        # child slot layout: [reflect lanes 0..n) | refract lanes n..2n).
+        # Children whose contribution is provably zero are not spawned:
+        # reflect scales by over_refl (combine_specular), refract by
+        # Tf * over_d — a zero color kills the whole subtree.
+        acts, os_, ds_ = [], [], []
+        if want_refl:
+            refl_spawn = (ir.mat_reflective[comps.mat] & comps.valid
+                          & jnp.any(comps.over_refl != 0.0, axis=-1))
+            acts.append(refl_spawn)
+            os_.append(comps.over_point)
+            ds_.append(comps.reflectv)
+        if want_refr:
+            refr_spawn = (refract_active(comps)
+                          & jnp.any(ir.mat_Tf[comps.mat] != 0.0, axis=-1))
+            acts.append(refr_spawn)
+            os_.append(comps.under_point)
+            ds_.append(refract_direction(comps))
+        act = jnp.concatenate(acts)
+        src_o = jnp.concatenate(os_)
+        src_d = jnp.concatenate(ds_)
+        B = int(buckets[lvl]) if lvl < len(buckets) else n
+        n_live = jnp.sum(act)
+        overflow = overflow | (n_live > B)
+        (idx,) = jnp.nonzero(act, size=B, fill_value=src_o.shape[0])
+        entry["idx"] = idx
+        # fill lanes -> a ray parked far outside every scene bound
+        pad_o = jnp.concatenate([src_o, jnp.full((1, 3), 1e30, dtype)])
+        pad_d = jnp.concatenate([src_d, jnp.ones((1, 3), dtype)])
+        cur_o = pad_o[idx]
+        cur_d = pad_d[idx]
+
+    child_total: Optional[Triple] = None
+    for lvl in range(len(levels) - 1, -1, -1):
+        e = levels[lvl]
+        n = e["n"]
+        refl_raw = refr_raw = None
+        if child_total is not None:
+            idx = e["idx"]              # (B,) child slot -> [0, 2n] + fill
+            nsrc = (int(want_refl) + int(want_refr)) * n
+            z = jnp.zeros((nsrc + 1, 3), dtype)
+            sa = z.at[idx].add(child_total.a)
+            sd = z.at[idx].add(child_total.d)
+            ss = z.at[idx].add(child_total.s)
+            off = 0
+            if want_refl:
+                refl_raw = Triple(sa[off:off + n], sd[off:off + n],
+                                  ss[off:off + n])
+                off += n
+            if want_refr:
+                refr_raw = Triple(sa[off:off + n], sd[off:off + n],
+                                  ss[off:off + n])
+        total = combine_specular(ir, rt, e["comps"], e["direct"],
+                                 refl_raw, refr_raw)
+        child_total = total.mask(e["comps"].valid)
+    return child_total, overflow
+
+
+def spawn_counts(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
+                 key, ceiling: float = 3.0):
+    """Per-level live-children counts for bucket calibration (jit this and
+    run it once per chunk at setup; ~one render pass of cost). Uses
+    ceiling-sized buckets internally so the counts are exact unless a
+    level exceeds `ceiling` x the primary batch."""
+    cfg = rt.cfg
+    want_refl = cfg.include_specular and ir.meta.has_reflective and depth > 0
+    want_refr = cfg.include_specular and ir.meta.has_refractive and depth > 0
+    n0 = orig.shape[0]
+    dtype = orig.dtype
+    counts = []
+    cur_o, cur_d = orig, dirs
+    for lvl in range(depth):
+        lkey = None if key is None else jax.random.fold_in(key, lvl)
+        comps = prepare_computations(ir, rt, cur_o, cur_d)
+        acts, os_, ds_ = [], [], []
+        if want_refl:
+            acts.append(ir.mat_reflective[comps.mat] & comps.valid
+                        & jnp.any(comps.over_refl != 0.0, axis=-1))
+            os_.append(comps.over_point)
+            ds_.append(comps.reflectv)
+        if want_refr:
+            acts.append(refract_active(comps)
+                        & jnp.any(ir.mat_Tf[comps.mat] != 0.0, axis=-1))
+            os_.append(comps.under_point)
+            ds_.append(refract_direction(comps))
+        if not acts:
+            break
+        act = jnp.concatenate(acts)
+        counts.append(jnp.sum(act))
+        B = int(np.ceil(n0 * ceiling / 256.0)) * 256
+        (idx,) = jnp.nonzero(act, size=B, fill_value=act.shape[0])
+        pad_o = jnp.concatenate([jnp.concatenate(os_),
+                                 jnp.full((1, 3), 1e30, dtype)])
+        pad_d = jnp.concatenate([jnp.concatenate(ds_),
+                                 jnp.ones((1, 3), dtype)])
+        cur_o = pad_o[idx]
+        cur_d = pad_d[idx]
+    return counts
+
+
+def calibrate_buckets(probe_fn, chunks, depth: int, margin: float = 1.15):
+    """Max per-level spawn counts over `chunks` (each a tuple of args for
+    `probe_fn`, a jitted spawn_counts closure) -> bucket sizes with
+    `margin` headroom, rounded up to 256 lanes."""
+    worst = [0] * depth
+    for args in chunks:
+        counts = probe_fn(*args)
+        for i, c in enumerate(counts):
+            worst[i] = max(worst[i], int(c))
+    return [max(256, int(np.ceil(w * margin / 256.0)) * 256)
+            for w in worst]
+
+
+def default_buckets(n0: int, depth: int, fractions=None):
+    """Bucket sizes per spawn level, as multiples of the primary batch.
+
+    Defaults follow measured worst-case spawn fractions on the glass-scene
+    family (mirror walls + glass spheres branch up to ~2.0x the primary
+    batch by depth 5; mostly-diffuse scenes stay well under 1x): generous
+    enough that overflow is rare, small enough to keep the 6-10x lane
+    saving over the 2^depth exact path. The overflow flag + caller
+    fallback guarantees correctness regardless. `fractions` overrides per
+    level (e.g. from a probe frame)."""
+    if fractions is None:
+        fractions = [min(2.4, 1.4 + 0.25 * lvl) for lvl in range(depth)]
+    out = []
+    for lvl in range(depth):
+        b = int(np.ceil(n0 * fractions[lvl] / 256.0)) * 256
+        out.append(max(256, b))
+    return out
 
 
 def schlick(comps: Comps):

@@ -107,10 +107,18 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     # pixels, matching sampler reset semantics)
     det_table = jnp.asarray(cmj_points_static(cam.usteps, cam.vsteps), dtype)
 
-    # active-lane compaction pays off whenever the bounce tree is real
+    # active-lane compaction pays off whenever the bounce tree is real.
+    # On CPU the host-driven CompactTracer wins (cheap syncs, cheap
+    # compiles); on TPU per-level host syncs through the device tunnel
+    # cost more than they save, so the device-side static-bucket
+    # compaction (integrator.trace_bucketed) runs instead, with an
+    # overflow fallback to the exact unrolled trace.
     use_compact = ir.meta.has_reflective or ir.meta.has_refractive \
         or getattr(scene.config, "_gi_hook", None) is not None
-    tracer = CompactTracer(ir, rt) if use_compact else None
+    on_cpu = jax.default_backend() == "cpu"
+    tracer = CompactTracer(ir, rt) if use_compact and on_cpu else None
+    use_bucketed = use_compact and not on_cpu \
+        and getattr(scene.config, "_gi_hook", None) is None
 
     @partial(jax.jit, static_argnums=())
     def chunk_rays(px, py, chunk_key):
@@ -157,6 +165,37 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         triple = tracer.trace(ir_in, orig, dirs, path_length, ray_key)
         return avg_jit(triple)
 
+    bucketed_fns = {}
+
+    def render_chunk_bucketed(ir_in, px, py, chunk_key):
+        """Device-side static-bucket compaction (TPU): probe the chunk's
+        per-level spawn counts once, compile a tight-bucket program, and
+        fall back to the exact path if the overflow flag fires."""
+        from fast_ray_tracer_tpu.render.integrator import (
+            spawn_counts, trace_bucketed,
+        )
+        orig, dirs = chunk_rays(px, py, chunk_key)
+        ray_key = None
+        if chunk_key is not None:
+            ray_key = jax.random.fold_in(chunk_key, 1)
+        if "probe" not in bucketed_fns:
+            bucketed_fns["probe"] = jax.jit(
+                lambda i, o, d, k: spawn_counts(i, rt, o, d, path_length, k))
+        counts = [int(x) for x in
+                  bucketed_fns["probe"](ir_in, orig, dirs, ray_key)]
+        buckets = tuple(max(256, int(math.ceil(c * 1.15 / 2048)) * 2048)
+                        for c in counts)
+        if buckets not in bucketed_fns:
+            def f(i, o, d, k, _b=buckets):
+                tr, ovf = trace_bucketed(i, rt, o, d, path_length, k,
+                                         list(_b))
+                return tr, ovf
+            bucketed_fns[buckets] = jax.jit(f)
+        triple, ovf = bucketed_fns[buckets](ir_in, orig, dirs, ray_key)
+        if bool(ovf):
+            triple = color_at(ir_in, rt, orig, dirs, path_length, ray_key)
+        return avg_jit(triple)
+
     total = W * H
     xs = np.tile(np.arange(W, dtype=np.int32), H)
     ys = np.repeat(np.arange(H, dtype=np.int32), W)
@@ -180,7 +219,12 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
         py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
         ck = None if key is None else jax.random.fold_in(key, c)
-        fn = render_chunk_compact if use_compact else render_chunk
+        if use_bucketed:
+            fn = render_chunk_bucketed
+        elif tracer is not None:
+            fn = render_chunk_compact
+        else:
+            fn = render_chunk
         res = fn(ir, jnp.asarray(px), jnp.asarray(py), ck)
         out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
         if checkpoint_path is not None and (

@@ -109,8 +109,10 @@ class _Tables:
         self.t_doc: List[int] = []
         self.t_blocks: List[Dict] = []
         self.next_leaf = 0                # shared doc-order leaf counter
-        # csg trees: per tree, tuple of internal nodes (depth, path, op)
+        # csg trees: per tree, postorder filter program (see _csg_prog)
         self.csg_trees: List[Tuple] = []
+        self.csg_div_roots: List[div.Node] = []   # pre-divide sim subtree
+        self.csg_node_ops: List[Dict[int, int]] = []  # per tree nid -> op
         # materials
         self.m_rows: List[Dict] = []
         # patterns
@@ -253,9 +255,11 @@ def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
         doc = tables.next_leaf
         tables.next_leaf += 1
         node = _walk_csg_child(shape, parent_m, tables, tree_id, 0, 0,
-                               inherited_mat, tree_nodes, doc)
+                               [0], 0, inherited_mat, tree_nodes, doc)
         nodes.append(node)
         tables.csg_trees.append(tuple(tree_nodes))
+        tables.csg_div_roots.append(node)
+        tables.csg_node_ops.append({nid: op for nid, _, op in tree_nodes})
         return
     if shape.kind == "obj":
         from fast_ray_tracer_tpu.scene.obj_loader import load_obj_into
@@ -310,7 +314,7 @@ def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
     tables.a_inv.append(np.linalg.inv(m_world))
     tables.a_params.append(params)
     tables.a_mat.append(mat_id)
-    tables.a_csg.append((csg_id, csg_side))
+    tables.a_csg.append((csg_id, 0, csg_side))
     tables.a_doc.append(tables.next_leaf)
     nodes.append(div.Node(
         kind=shape.kind, transform=m_flat, leaf_id=tables.next_leaf,
@@ -323,35 +327,44 @@ _CSG_OPS = {"union": 0, "intersection": 1, "difference": 2}
 
 
 def _walk_csg_child(sub: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
-                    tree_id: int, depth: int, path: int,
-                    inherited_mat: Optional[int], tree_nodes: List,
-                    doc: int) -> div.Node:
-    """Walk a node of a csg tree at position (depth, path). Records the op
-    of internal csg nodes, emits leaf prims tagged with (tree_id, path),
-    and returns the divide-sim bounds Node. All leaves share ONE document
-    leaf id `doc` (the whole tree is a single shadow-walk leaf)."""
+                    tree_id: int, anc: int, side: int, nid_alloc: List[int],
+                    depth: int, inherited_mat: Optional[int],
+                    tree_nodes: List, doc: int) -> div.Node:
+    """Walk a node of a csg tree. Internal csg nodes get unique ids from
+    `nid_alloc`; leaves are tagged (tree_id, ancestor-bitmask,
+    side-bitmask) so SIBLING subtrees under a group child stay distinct
+    (the reference filters each nested csg's own hits before the group
+    merge — csg_local_intersect, src/shapes/csg.c:73-125). All leaves
+    share ONE document leaf id `doc` (the whole tree is a single
+    shadow-walk leaf)."""
     m_local = compose_chain(sub.transform)
     m_world = parent_m @ m_local
     m_flat = m_local.ravel().tolist()
 
     if sub.kind == "csg":
-        tree_nodes.append((depth, path, _CSG_OPS[sub.op]))
+        nid = nid_alloc[0]
+        nid_alloc[0] += 1
+        if nid > 30:
+            raise NotImplementedError("csg trees with >31 internal nodes")
+        tree_nodes.append((nid, depth, _CSG_OPS[sub.op]))
         mat = (tables.add_material(sub.material)
                if sub.material is not None else inherited_mat)
-        node = div.Node(kind="csg", transform=m_flat, leaf_id=doc)
+        node = div.Node(kind="csg", transform=m_flat, leaf_id=doc, tag=nid)
         node.left = _walk_csg_child(sub.left, m_world, tables, tree_id,
-                                    depth + 1, path, mat, tree_nodes, doc)
+                                    anc | (1 << nid), side, nid_alloc,
+                                    depth + 1, mat, tree_nodes, doc)
         node.right = _walk_csg_child(sub.right, m_world, tables, tree_id,
-                                     depth + 1, path | (1 << depth), mat,
-                                     tree_nodes, doc)
+                                     anc | (1 << nid), side | (1 << nid),
+                                     nid_alloc, depth + 1, mat, tree_nodes,
+                                     doc)
         return node
 
     if sub.kind == "group":
         node = div.Node(kind="group", transform=m_flat, leaf_id=doc)
         for child in sub.children:
             node.children.append(_walk_csg_child(
-                child, m_world, tables, tree_id, depth, path,
-                inherited_mat, tree_nodes, doc))
+                child, m_world, tables, tree_id, anc, side, nid_alloc,
+                depth, inherited_mat, tree_nodes, doc))
         return node
 
     if sub.kind == "obj":
@@ -375,12 +388,64 @@ def _walk_csg_child(sub: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
     tables.a_inv.append(np.linalg.inv(m_world))
     tables.a_params.append(params)
     tables.a_mat.append(mat_id)
-    tables.a_csg.append((tree_id, path))
+    tables.a_csg.append((tree_id, anc, side))
     tables.a_doc.append(doc)
     return div.Node(kind=sub.kind, transform=m_flat, leaf_id=doc,
+                    tag=len(tables.a_csg) - 1,
                     obj_box=div.leaf_box(sub.kind, minimum=sub.minimum,
                                          maximum=sub.maximum, r1=sub.r1,
                                          r2=sub.r2))
+
+
+def _leaf_tags(node: div.Node, out: List[int]) -> None:
+    if node.kind == "csg":
+        _leaf_tags(node.left, out)
+        _leaf_tags(node.right, out)
+    elif node.kind == "group":
+        for c in node.children:
+            _leaf_tags(c, out)
+    else:
+        out.append(node.tag)
+
+
+def _csg_prog(root: div.Node, nid_ops: Dict[int, int], threshold: int):
+    """Post-divide filter program for one csg tree: POSTORDER entries
+
+      ("c", nid, op)   - truth-table filter at csg node `nid`
+      ("g", branches)  - shadow-ray truncation point: `branches` is a
+                         tuple of per-child-subtree leaf-row tuples in
+                         post-divide child order. With stop_after_first_hit
+                         the reference's group walk stops after the first
+                         child subtree that returned a t > 0 hit
+                         (src/shapes/group.c:104-123), so later branches
+                         contribute NOTHING to the csg filter on shadow
+                         rays (and everything on primary rays).
+
+    The divide pass reorders and nests groups inside the tree exactly
+    like the reference (csg_divide recurses into children,
+    src/shapes/csg.c:141-146), so truncation points match its post-divide
+    tree."""
+    import copy
+    node = copy.deepcopy(root)
+    div.divide(node, threshold)
+    prog: List[Tuple] = []
+
+    def walk(n: div.Node):
+        if n.kind == "csg":
+            walk(n.left)
+            walk(n.right)
+            prog.append(("c", n.tag, nid_ops[n.tag]))
+        elif n.kind == "group":
+            branches = []
+            for c in n.children:
+                walk(c)
+                tags: List[int] = []
+                _leaf_tags(c, tags)
+                branches.append(tuple(tags))
+            prog.append(("g", tuple(branches)))
+
+    walk(node)
+    return tuple(prog)
 
 
 def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
@@ -391,6 +456,13 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     for shape in scene.world:
         _walk(shape, np.eye(4), tables, csg_id=-1, csg_side=0,
               inherited_mat=None, nodes=root.children)
+
+    # csg filter programs from the PRE-divide tree copies (the Python
+    # shadow_ranks fallback below mutates `root` in place)
+    csg_progs = [
+        _csg_prog(r, ops, scene.config.divide_threshold)
+        for r, ops in zip(tables.csg_div_roots, tables.csg_node_ops)
+    ]
 
     # post-divide DFS leaf order -> shadow-walk rank per document leaf
     doc_rank = np.asarray(
@@ -408,12 +480,29 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
               else np.zeros((0, 4)))
     a_mat = (np.asarray(tables.a_mat, dtype=np.int64)[order] if len(order)
              else np.zeros(0, np.int64))
-    a_csg = (np.asarray([c for c, _ in tables.a_csg], dtype=np.int64)[order]
+    a_csg = (np.asarray([c for c, _, _ in tables.a_csg],
+                        dtype=np.int64)[order]
              if len(order) else np.zeros(0, np.int64))
-    a_side = (np.asarray([s for _, s in tables.a_csg], dtype=np.int64)[order]
+    a_anc = (np.asarray([a for _, a, _ in tables.a_csg],
+                        dtype=np.int64)[order]
+             if len(order) else np.zeros(0, np.int64))
+    a_side = (np.asarray([sd for _, _, sd in tables.a_csg],
+                         dtype=np.int64)[order]
               if len(order) else np.zeros(0, np.int64))
     a_rank = (doc_rank[np.asarray(tables.a_doc, dtype=np.int64)][order]
               if len(order) else np.zeros(0, np.int64))
+
+    # remap csg-program leaf rows (pre-sort a_csg indices) to final prim ids
+    if csg_progs and len(order):
+        inv_order = np.empty(len(order), np.int64)
+        inv_order[order] = np.arange(len(order))
+        csg_progs = [
+            tuple(e if e[0] == "c" else
+                  ("g", tuple(tuple(int(inv_order[t]) for t in br)
+                              for br in e[1]))
+                  for e in prog)
+            for prog in csg_progs
+        ]
 
     type_ranges = []
     for t in range(6):
@@ -651,7 +740,7 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
                                 if r["type"] == IR.PAT_MAP})),
         pattern_depth=pattern_depth,
         max_perlin_octaves=max_octaves,
-        csg_trees=tuple(tables.csg_trees),
+        csg_trees=tuple(csg_progs),
         has_csg=bool(tables.csg_trees),
     )
 
@@ -660,13 +749,14 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     return SceneIR(
         meta=meta,
         inv_tf=f(inv), prim_params=f(params), material_id=i32(a_mat),
-        csg_leaf=i32(a_csg), csg_side=i32(a_side),
+        csg_leaf=i32(a_csg), csg_anc=i32(a_anc), csg_side=i32(a_side),
         prim_shadow_rank=i32(np.concatenate([a_rank, tri_rank])),
         tri_p1=f(tri_p1), tri_e1=f(tri_e1), tri_e2=f(tri_e2),
         tri_n1=f(tri_n1), tri_n2=f(tri_n2), tri_n3=f(tri_n3),
         tri_t1=f(tri_t1), tri_t2=f(tri_t2), tri_t3=f(tri_t3),
         tri_use_tex=jnp.asarray(tri_use_tex), tri_material_id=i32(tri_mat),
-        tri_csg_leaf=i32(tri_csg), tri_csg_side=i32(tri_side),
+        tri_csg_leaf=i32(tri_csg), tri_csg_anc=i32(np.zeros_like(tri_csg)),
+        tri_csg_side=i32(tri_side),
         cluster_min=f(cluster_min), cluster_max=f(cluster_max),
         mat_Ka=f(mat["Ka"]), mat_Kd=f(mat["Kd"]), mat_Ks=f(mat["Ks"]),
         mat_Tf=f(mat["Tf"]), mat_refl=f(mat["refl"]),

@@ -136,6 +136,7 @@ class Node:
     left: Optional["Node"] = None                          # csg
     right: Optional["Node"] = None
     leaf_id: int = -1               # document-order id for leaves
+    tag: int = -1                   # csg-internal id (node nid / leaf row)
     obj_box: Optional[Box] = None   # object-space bbox for primitive leaves
     block_boxes: Optional[object] = None   # leafblock: (n, 6) float64
     block_ids: Optional[object] = None     # leafblock: (n,) int64

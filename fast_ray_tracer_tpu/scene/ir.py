@@ -80,9 +80,13 @@ class SceneMeta:
     map_kinds: Tuple[int, ...] = ()  # uv-map projections present
     pattern_depth: int = 0          # max combinator nesting depth present
     max_perlin_octaves: int = 0
-    # csg: per tree, internal nodes as (depth, path, op) — op 0=union,
-    # 1=intersection, 2=difference; a leaf prim belongs to node (d, p)
-    # iff the low d bits of its csg_side path equal p
+    # csg: per tree, internal nodes as (nid, depth, op) — op 0=union,
+    # 1=intersection, 2=difference. A leaf prim belongs to node nid iff
+    # bit nid of its csg_anc mask is set; bit nid of csg_side says which
+    # side (0=left subtree, 1=right). Bitmasks (not path prefixes) so that
+    # SIBLING subtrees under a group child stay distinct (the orrery gear
+    # is csg(cyl, group{20 notch CSGs}) — src/shapes/csg.c filters each
+    # notch's own hits before the group merge).
     csg_trees: Tuple[Tuple[Tuple[int, int, int], ...], ...] = ()
     has_csg: bool = False
 
@@ -96,8 +100,9 @@ class SceneIR:
     inv_tf: Any = None          # (Na,4,4) world->object
     prim_params: Any = None     # (Na,4): cyl/cone [min,max,closed,_], toroid [r1,r2,_,_]
     material_id: Any = None     # (Na,) i32
-    csg_leaf: Any = None        # (Na,) i32: csg node id or -1
-    csg_side: Any = None        # (Na,) i32 bitmask: membership path (bit k: right child at depth k)
+    csg_leaf: Any = None        # (Na,) i32: csg tree id or -1
+    csg_anc: Any = None         # (Na,) i32 bitmask: bit n = node n is an ancestor
+    csg_side: Any = None        # (Na,) i32 bitmask: bit n = right subtree of node n
     prim_shadow_rank: Any = None  # (Na+Nt,) i32 post-divide DFS walk order
                                   # (shadow early-exit semantics, divide.py)
 
@@ -114,6 +119,7 @@ class SceneIR:
     tri_use_tex: Any = None     # (Nt,) bool
     tri_material_id: Any = None # (Nt,) i32
     tri_csg_leaf: Any = None
+    tri_csg_anc: Any = None
     tri_csg_side: Any = None
     # cluster AABBs (Nc,3) — acceleration structure, not trainable
     # (culling is discrete; parallel/train.py excludes these from params)

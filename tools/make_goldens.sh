@@ -86,6 +86,13 @@ declare -A SCENES=(
   [bbox_tiny]=scenes_reduced/bbox_tiny.yml
   [cornell_small]=scenes_reduced/cornell_small.yml
   [cornell_direct]=scenes_reduced/cornell_direct.yml
+  [lens_small]=scenes_reduced/lens_small.yml
+  [skybox_small]=scenes_reduced/skybox_small.yml
+  [orrery_small]=scenes_reduced/orrery_small.yml
+  [sibenik_small]=scenes_reduced/sibenik_small.yml
+  [dof_small]=scenes_reduced/dof_small.yml
+  [cover_small]=scenes_reduced/cover_small.yml
+  [mtl_test]=scenes_reduced/mtl_test.yml
 )
 
 if [ $# -gt 0 ]; then
@@ -95,7 +102,8 @@ else
          align_check_plane group_test reflect_refract_test test
          texture_map_test spec_map_test bump_map_test csg_test
          reflect_refract area_light_test teapot glamour_small bbox_tiny
-         cornell_direct cornell_small)
+         cornell_direct cornell_small lens_small skybox_small
+         orrery_small mtl_test dof_small cover_small)
 fi
 
 for n in "${names[@]}"; do

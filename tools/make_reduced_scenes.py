@@ -34,21 +34,52 @@ def set_camera(tree, **kw):
 
 
 def config(tree):
-    return adds(tree, "config")[0]
+    cfgs = adds(tree, "config")
+    if not cfgs:
+        cfg = {"add": "config"}
+        tree.insert(0, cfg)
+        return cfg
+    return cfgs[0]
 
 
 def set_output(tree, path):
     config(tree).setdefault("output", {})["file"] = path
 
 
-def absolutize_obj_files(tree):
-    """Make `add: obj` file paths absolute (reference resolves them
-    relative to the cwd; the reduced ymls live elsewhere)."""
+ASSETS_ROOT = REF   # set from out_dir in main(): the writable ref copy
+
+
+def absolutize_files(tree):
+    """Make every relative asset `file:` path absolute into the writable
+    reference copy (.baseline/ref). The reference binary resolves paths
+    relative to its cwd and *writes* converted .png siblings next to JPG
+    textures (yaml_parser/pattern.py:255-261), so paths must point into
+    the writable copy — and our loader resolves the same absolute paths
+    when the reduced yml is loaded from .baseline/golden."""
     def walk(node):
         if isinstance(node, dict):
-            if node.get("add") == "obj" and "file" in node:
-                if not os.path.isabs(node["file"]):
-                    node["file"] = os.path.join(REF, node["file"])
+            f = node.get("file")
+            if isinstance(f, str) and not os.path.isabs(f):
+                p = os.path.join(ASSETS_ROOT, f)
+                if os.path.exists(p) or os.path.exists(
+                        os.path.splitext(p)[0] + ".png"):
+                    node["file"] = p
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+    walk(tree)
+
+
+def substitute_files(tree, mapping):
+    """Replace asset paths (e.g. assets the reference credits but never
+    checked in)."""
+    def walk(node):
+        if isinstance(node, dict):
+            f = node.get("file")
+            if isinstance(f, str) and f in mapping:
+                node["file"] = mapping[f]
             for v in node.values():
                 walk(v)
         elif isinstance(node, list):
@@ -63,7 +94,10 @@ def dump(tree, out_dir, name):
 
 
 def main(out_dir):
+    global ASSETS_ROOT
     os.makedirs(out_dir, exist_ok=True)
+    # asset paths resolve into the writable reference copy (.baseline/ref)
+    ASSETS_ROOT = os.path.dirname(os.path.abspath(out_dir))
 
     # glamour_small: shadow_glamour_shot at 300x120 (jittered 10x10 area
     # light -> statistical parity).
@@ -96,9 +130,79 @@ def main(out_dir):
     # bbox_tiny: bounding_boxes (141k-triangle dragons) at 150x60.
     t = load("scenes/bounding_boxes/bounding_boxes.yml")
     set_camera(t, width=150, height=60)
-    absolutize_obj_files(t)
+    absolutize_files(t)
     set_output(t, "/tmp/golden_out")
     dump(t, out_dir, "bbox_tiny.yml")
+
+    # lens_small: CSG lenses, deterministic (1x1, no jitter) -> bitwise.
+    t = load("scenes/lens_test/lens_test.yml")
+    set_camera(t, width=300, height=150)
+    absolutize_files(t)
+    set_output(t, "/tmp/golden_out")
+    dump(t, out_dir, "lens_small.yml")
+
+    # skybox_small: cube-map sky sphere, deterministic -> bitwise.
+    t = load("scenes/skybox/skybox.yml")
+    set_camera(t, width=200, height=100, usteps=2, vsteps=2)
+    absolutize_files(t)
+    set_output(t, "/tmp/golden_out")
+    dump(t, out_dir, "skybox_small.yml")
+
+    # orrery_small: image textures + reflective metals, deterministic.
+    t = load("scenes/orrery/orrery.yml")
+    set_camera(t, width=512, height=256)
+    # the artist_workshop env map is credited in the scene comments but
+    # never checked into the reference repo; substitute a texture that
+    # exists so both renderers sample identical texels
+    substitute_files(t, {"scenes/orrery/artist_workshop_16k.png":
+                         "scenes/orrery/earthmap-small.jpg",
+                         "scenes/orrery/artist_workshop_2k_normal.png":
+                         "scenes/orrery/wood.jpg"})
+    absolutize_files(t)
+    set_output(t, "/tmp/golden_out")
+    dump(t, out_dir, "orrery_small.yml")
+
+    # NOTE: the reference's sibenik scene is unrenderable as checked in —
+    # scenes/sibenik/sibenik.obj was never committed (only the .mtl and
+    # textures). mtl_test (hand-authored) covers the same OBJ+MTL loader
+    # path using the sibenik textures.
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def template(name, subs):
+        with open(os.path.join(here, "golden_scenes", name)) as f:
+            s = f.read()
+        for k, v in subs.items():
+            s = s.replace(k, v)
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write(s)
+
+    sib = os.path.join(ASSETS_ROOT, "scenes", "sibenik")
+    template("mtl_test.yml", {"{ROOT}": ASSETS_ROOT})
+    template("mtl_test.obj", {"mtllib mtl_test.mtl":
+                              f"mtllib {out_dir}/mtl_test.mtl"})
+    template("mtl_test.mtl", {"kamen.png": os.path.join(sib, "kamen.png"),
+                              "kamen-bump.png":
+                                  os.path.join(sib, "kamen-bump.png"),
+                              "mramor6x6.png":
+                                  os.path.join(sib, "mramor6x6.png"),
+                              "mramor6x6-bump.png":
+                                  os.path.join(sib, "mramor6x6-bump.png")})
+
+    # dof_small: depth-of-field with jittered subpixels -> statistical.
+    t = load("scenes/dof_test/dof.yml")
+    set_camera(t, width=300, height=150, usteps=2, vsteps=2)
+    absolutize_files(t)
+    cfg = config(t)
+    cfg.setdefault("output", {})["file"] = "/tmp/golden_out"
+    dump(t, out_dir, "dof_small.yml")
+
+    # cover_small: the book-cover scene, jittered subpixels -> statistical.
+    t = load("scenes/cover/cover.yml")
+    set_camera(t, width=200, height=200)
+    absolutize_files(t)
+    cfg = config(t)
+    cfg.setdefault("output", {})["file"] = "/tmp/golden_out"
+    dump(t, out_dir, "cover_small.yml")
 
     # csg_test: hand-authored (tools/golden_scenes/csg_test.yml).
     here = os.path.dirname(os.path.abspath(__file__))
