@@ -49,7 +49,7 @@ def main():
     uv = jnp.broadcast_to(jnp.asarray(cmj_points_static(1, 1), dtype), (n, 2))
     ap = jnp.zeros((n, 2), dtype)
 
-    chunk = 40000
+    chunk = 80000
     n_chunks = n // chunk
 
     # static-bucket wavefront compaction (integrator.trace_bucketed):
