@@ -177,24 +177,27 @@ def refraction_indices(t_sorted, prim_sorted, t_hit, prim_ni):
     is_hit = valid & (t_sorted == t_hit[:, None])
     hit_k = jnp.argmax(is_hit, axis=-1)
 
+    # Limit-independent decomposition: for a walk over entries j < L,
+    # entry k (< L) is the last processed occurrence of its prim iff its
+    # NEXT same-prim occurrence is >= L, and its prim count is odd iff
+    # the count strictly before k is even. Both quantities are
+    # independent of L, so the two limit passes (n1 at hit_k, n2 at
+    # hit_k + 1) share ONE pair of (R,K,K) reductions.
+    jj = jnp.arange(K)[:, None]                          # j (other entry)
+    kk = jnp.arange(K)[None, :]                          # k (query entry)
     same = (prim_sorted[:, :, None] == prim_sorted[:, None, :]) \
-        & valid[:, :, None] & valid[:, None, :]          # (R,K,K) same[j,k]
-    j_lt_k = (jnp.arange(K)[:, None] < jnp.arange(K)[None, :])[None]
-    j_le_k = (jnp.arange(K)[:, None] <= jnp.arange(K)[None, :])[None]
+        & valid[:, :, None] & valid[:, None, :]          # (R,K,K) [j,k]
+    occ_before = jnp.sum(same & (jj < kk)[None], axis=1)          # (R,K)
+    nxt = jnp.min(jnp.where(same & (jj > kk)[None],
+                            jnp.broadcast_to(jj[None], same.shape), K),
+                  axis=1)                                          # (R,K)
+    even_before = (occ_before % 2) == 0
+    k_idx = jnp.arange(K)[None, :]
 
     def last_inside_ni(limit_excl):
-        # limit_excl: (R,) process entries j < limit_excl
-        in_walk = jnp.arange(K)[None, :] < limit_excl[:, None]   # (R,K)
-        processed = same & in_walk[:, :, None] & in_walk[:, None, :]
-        # occurrences of prim_k among processed j<=... : count with j<k
-        occ_before = jnp.sum(processed & j_lt_k, axis=1)          # (R,K)
-        occ_total = jnp.sum(processed, axis=1)                    # occurrences of prim at k among processed
-        # entry k is the last processed occurrence of its prim
-        is_last = in_walk & (occ_before + 1 == occ_total) & valid
-        odd = (occ_total % 2) == 1
-        active = is_last & odd
-        # latest active entry
-        k_idx = jnp.arange(K)[None, :]
+        in_walk = k_idx < limit_excl[:, None]            # (R,K): k < L
+        active = valid & in_walk & even_before \
+            & (nxt >= limit_excl[:, None])
         best = jnp.max(jnp.where(active, k_idx, -1), axis=-1)
         any_active = best >= 0
         prim_at = jnp.take_along_axis(prim_sorted,
