@@ -652,7 +652,8 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         comps = prepare_computations(ir, rt, cur_o, cur_d)
         direct = shade_direct(ir, rt, comps, lkey)
         n = cur_o.shape[0]
-        entry = {"comps": comps, "direct": direct, "n": n, "idx": None}
+        entry = {"comps": comps, "direct": direct, "n": n,
+                 "pos": None, "act": None, "bucket": 0}
         levels.append(entry)
         if lvl == depth:
             break
@@ -680,7 +681,12 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         n_live = jnp.sum(act)
         overflow = overflow | (n_live > B)
         (idx,) = jnp.nonzero(act, size=B, fill_value=src_o.shape[0])
-        entry["idx"] = idx
+        # child-slot -> bucket position (shares the cumsum inside nonzero):
+        # the upward combine GATHERS child results through this instead of
+        # scatter-adding through idx — TPU scatters serialize, gathers don't
+        entry["pos"] = jnp.cumsum(act.astype(jnp.int32)) - 1
+        entry["act"] = act
+        entry["bucket"] = B
         # fill lanes -> a ray parked far outside every scene bound
         pad_o = jnp.concatenate([src_o, jnp.full((1, 3), 1e30, dtype)])
         pad_d = jnp.concatenate([src_d, jnp.ones((1, 3), dtype)])
@@ -693,20 +699,23 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         n = e["n"]
         refl_raw = refr_raw = None
         if child_total is not None:
-            idx = e["idx"]              # (B,) child slot -> [0, 2n] + fill
-            nsrc = (int(want_refl) + int(want_refr)) * n
-            z = jnp.zeros((nsrc + 1, 3), dtype)
-            sa = z.at[idx].add(child_total.a)
-            sd = z.at[idx].add(child_total.d)
-            ss = z.at[idx].add(child_total.s)
+            # gather each child slot's result from its bucket position
+            # (inverse of the downward nonzero compaction); dead slots
+            # (act=False) contribute zero
+            B = e["bucket"]
+            posc = jnp.clip(e["pos"], 0, B - 1)
+            actm = e["act"][:, None]
+            ga = jnp.where(actm, child_total.a[posc], 0.0)
+            gd = jnp.where(actm, child_total.d[posc], 0.0)
+            gs = jnp.where(actm, child_total.s[posc], 0.0)
             off = 0
             if want_refl:
-                refl_raw = Triple(sa[off:off + n], sd[off:off + n],
-                                  ss[off:off + n])
+                refl_raw = Triple(ga[off:off + n], gd[off:off + n],
+                                  gs[off:off + n])
                 off += n
             if want_refr:
-                refr_raw = Triple(sa[off:off + n], sd[off:off + n],
-                                  ss[off:off + n])
+                refr_raw = Triple(ga[off:off + n], gd[off:off + n],
+                                  gs[off:off + n])
         total = combine_specular(ir, rt, e["comps"], e["direct"],
                                  refl_raw, refr_raw)
         child_total = total.mask(e["comps"].valid)
