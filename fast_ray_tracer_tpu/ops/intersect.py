@@ -260,9 +260,17 @@ def intersect_candidates(ir: SceneIR, orig, dirs) -> jnp.ndarray:
         inv = ir.inv_tf[start:start + count]          # (N,4,4)
         lin = inv[:, :3, :3]
         trans = inv[:, :3, 3]
-        # object-space rays (R, N, 3)
-        o = jnp.einsum("nij,rj->rni", lin, orig) + trans[None]
-        d = jnp.einsum("nij,rj->rni", lin, dirs)
+        # object-space rays (R, N, 3) as one (R,3)x(3,3N) matmul per block
+        # (W[j, n*3+i] = lin[n,i,j]); HIGHEST keeps true-f32 accumulation on
+        # TPU (the default would drop to bf16 passes and wreck the 1e-5
+        # epsilon tests)
+        W = lin.transpose(2, 0, 1).reshape(3, count * 3)
+        R = orig.shape[0]
+        o = jnp.dot(orig, W,
+                    precision=jax.lax.Precision.HIGHEST).reshape(R, count, 3) \
+            + trans[None]
+        d = jnp.dot(dirs, W,
+                    precision=jax.lax.Precision.HIGHEST).reshape(R, count, 3)
         params = ir.prim_params[start:start + count][None]  # (1,N,4)
         if typ == IR.SPHERE:
             t = _sphere_t(o, d)
@@ -521,7 +529,9 @@ def closest_hit(t_cand, slot_prim, mask=None) -> Hit:
     if mask is not None:
         t = jnp.where(mask[None], t, jnp.inf)
     idx = jnp.argmin(t, axis=-1)
-    tbest = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    # t[argmin] == min exactly; min fuses into one reduction pass where
+    # take_along_axis would add a per-row gather
+    tbest = jnp.min(t, axis=-1)
     prim = jnp.asarray(slot_prim)[idx]
     return Hit(valid=jnp.isfinite(tbest), t=tbest, prim=prim)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from fast_ray_tracer_tpu.constants import EPSILON
@@ -62,8 +63,19 @@ def build_shape_ctx(ir: SceneIR, prim) -> ShapeCtx:
     eye = jnp.broadcast_to(jnp.eye(4, dtype=ir.inv_tf.dtype),
                            (prim.shape[0], 4, 4))
     if na:
-        obj_inv = jnp.where(is_tri[:, None, None], eye, ir.inv_tf[a_idx])
-        params = jnp.where(is_tri[:, None], 0.0, ir.prim_params[a_idx])
+        # one-hot matmul instead of a row gather: the per-ray 4x4 gather is
+        # a profiled hot spot on TPU (strided 16-float rows), while a
+        # (R,na)x(na,16) matmul with exactly one nonzero per row is both
+        # fast on the MXU and bit-exact (x*1 + 0-sums)
+        R = prim.shape[0]
+        dt = ir.inv_tf.dtype
+        onehot = (a_idx[:, None] == jnp.arange(na)[None]).astype(dt)
+        hi = jax.lax.Precision.HIGHEST
+        inv_rows = jnp.dot(onehot, ir.inv_tf.reshape(na, 16),
+                           precision=hi).reshape(R, 4, 4)
+        params_rows = jnp.dot(onehot, ir.prim_params, precision=hi)
+        obj_inv = jnp.where(is_tri[:, None, None], eye, inv_rows)
+        params = jnp.where(is_tri[:, None], 0.0, params_rows)
         stype = jnp.where(is_tri, SHAPE_TRIANGLE,
                           jnp.asarray(a_types)[a_idx])
     else:
