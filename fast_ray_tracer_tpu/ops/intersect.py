@@ -549,6 +549,73 @@ def sorted_hits(t_cand, slot_prim, k: int):
     return t_sorted, prim
 
 
+def containers_n1_n2(meta, t_cand, t_hit, prim_ni):
+    """Sort-free "containers" walk (renderer.c:406-447) over the dense
+    candidate slots — replaces the former top_k + O(R*K^2) same-prim
+    reduction with O(R*H) per-primitive parity/segmented-max.
+
+    Derivation: the reference walks the t-ascending intersection list up
+    to the hit (exclusive for n1, inclusive for n2); an object is in the
+    containers iff it has an odd number of entries so far, and n1/n2 is
+    the Ni of the inside object whose latest entry is last in walk order
+    (lexicographic (t, slot), ties in t resolved by top_k's stable
+    index order — the hit entry is the FIRST slot with t == t_hit, so
+    "strictly before the hit" is exactly t < t_hit). Candidate slots of a
+    primitive are contiguous and static (slot_tables), so per-prim counts
+    and last-entry keys are reshape reductions, not gathers."""
+    R, H = t_cand.shape
+    dtype = t_cand.dtype
+    valid = jnp.isfinite(t_cand)
+    slot_idx = jnp.arange(H, dtype=jnp.int32)
+    is_hit = valid & (t_cand == t_hit[:, None])
+    hit_slot = jnp.argmax(is_hit, axis=-1).astype(jnp.int32)
+    before1 = valid & (t_cand < t_hit[:, None])
+    before2 = before1 | (is_hit & (slot_idx[None] == hit_slot[:, None]))
+
+    # static per-block layout: (offset, count, k) + global prim ids per col
+    blocks = []
+    off = 0
+    prim_ids = []
+    for typ, start, count in meta.type_ranges:
+        k = IR.TYPE_MAX_HITS[typ]
+        blocks.append((off, count, k))
+        prim_ids.extend(range(start, start + count))
+        off += count * k
+    if meta.n_triangles and not meta.use_clusters:
+        blocks.append((off, meta.n_triangles, 1))
+        prim_ids.extend(range(meta.n_analytic,
+                              meta.n_analytic + meta.n_triangles))
+        off += meta.n_triangles
+    ni_cols = prim_ni[np.asarray(prim_ids, np.int32)]          # (P,)
+
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    def solve(before):
+        cnts, lts, lslots = [], [], []
+        for boff, count, k in blocks:
+            b = before[:, boff:boff + count * k].reshape(R, count, k)
+            t = t_cand[:, boff:boff + count * k].reshape(R, count, k)
+            sl = slot_idx[boff:boff + count * k].reshape(count, k)
+            cnts.append(jnp.sum(b, axis=-1, dtype=jnp.int32))
+            tm = jnp.where(b, t, neg_inf)
+            lt = jnp.max(tm, axis=-1)
+            lts.append(lt)
+            lslots.append(jnp.max(
+                jnp.where(tm == lt[..., None], sl[None], -1), axis=-1))
+        cnt = jnp.concatenate(cnts, axis=-1)                   # (R,P)
+        lt = jnp.concatenate(lts, axis=-1)
+        lslot = jnp.concatenate(lslots, axis=-1)
+        inside = (cnt & 1) == 1
+        m = jnp.max(jnp.where(inside, lt, neg_inf), axis=-1)
+        score = jnp.where(inside & (lt == m[:, None]), lslot, -1)
+        best = jnp.argmax(score, axis=-1)
+        any_in = jnp.max(score, axis=-1) >= 0
+        ni = ni_cols[best]
+        return jnp.where(any_in, ni, jnp.ones_like(ni))
+
+    return solve(before1), solve(before2)
+
+
 def any_hit_within(t_cand, slot_shadow_mask, dist):
     """Physically-correct shadow test: any casts_shadow intersection with
     0 < t < dist. (Kept for the fast/PBR path; golden parity uses

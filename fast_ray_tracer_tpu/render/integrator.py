@@ -24,10 +24,10 @@ import jax.numpy as jnp
 
 from fast_ray_tracer_tpu.constants import EPSILON, SQRT3
 from fast_ray_tracer_tpu.ops.intersect import (
-    Hit, apply_csg_filter, closest_hit, csg_static_tables,
-    intersect_candidates, mesh_closest, mesh_shadow_reduce,
-    neutralize_rays, shadow_components, shadow_hit_early_exit,
-    slot_tables, sorted_hits, triangle_uv_at,
+    Hit, apply_csg_filter, closest_hit, containers_n1_n2,
+    csg_static_tables, intersect_candidates, mesh_closest,
+    mesh_shadow_reduce, neutralize_rays, shadow_components,
+    shadow_hit_early_exit, slot_tables, sorted_hits, triangle_uv_at,
 )
 from fast_ray_tracer_tpu.ops.patterns import ShapeCtx, build_shape_ctx, eval_pattern
 from fast_ray_tracer_tpu.render.normals import normal_at
@@ -245,9 +245,7 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
     if meta.needs_hit_sort:
         assert t_cand is not None, \
             "containers walk requires the dense candidate path"
-        t_sorted, prim_sorted = sorted_hits(t_cand, rt.slot_prim,
-                                            meta.max_hits)
-        n1, n2 = refraction_indices(t_sorted, prim_sorted, hit.t, rt.prim_ni)
+        n1, n2 = containers_n1_n2(meta, t_cand, hit.t, rt.prim_ni)
     else:
         n1 = jnp.ones_like(t)
         n2 = jnp.ones_like(t)
@@ -474,10 +472,13 @@ def shade_direct(ir: SceneIR, rt: RenderStatics, comps: Comps, key) -> Triple:
     if gi_hook is not None:
         gi_add = gi_hook(ir, rt, comps, key)
         a = surface.a + gi_add
-        # L1 clamp of the ambient channel (renderer.c:765-769)
+        # L1 clamp of the ambient channel (renderer.c:765-769). The whole
+        # GI block — clamp included — is gated on over_Kd > 0
+        # (renderer.c:728): black-diffuse lanes keep an unclamped ambient.
         l1 = jnp.sum(a, axis=-1, keepdims=True)
-        a = jnp.where(l1 > SQRT3, a * SQRT3 / l1, a)
-        surface = Triple(a, surface.d, surface.s)
+        clamped = jnp.where(l1 > SQRT3, a * SQRT3 / l1, a)
+        gate = jnp.any(comps.over_Kd > 0.0, axis=-1, keepdims=True)
+        surface = Triple(jnp.where(gate, clamped, a), surface.d, surface.s)
     return surface
 
 
@@ -818,122 +819,3 @@ def color_at(ir: SceneIR, rt: RenderStatics, orig, dirs, remaining: int,
              key) -> Triple:
     """renderer.c:347-366 for a ray batch (wavefront implementation)."""
     return trace(ir, rt, orig, dirs, remaining, key)
-
-
-# ---------------------------------------------------------------------------
-# compacted wavefront (host-driven level loop)
-# ---------------------------------------------------------------------------
-
-def level_forward(ir: SceneIR, rt: RenderStatics, orig, dirs, key):
-    """One wavefront level: intersect + direct shading + child-spawn info."""
-    comps = prepare_computations(ir, rt, orig, dirs)
-    direct = shade_direct(ir, rt, comps, key)
-    refl_act = ir.mat_reflective[comps.mat] & comps.valid
-    refr_act = refract_active(comps)
-    refr_dir = refract_direction(comps)
-    return comps, direct, refl_act, refr_act, refr_dir
-
-
-def _next_bucket(n: int, lo: int = 256) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
-
-
-class CompactTracer:
-    """Host-driven wavefront with active-lane compaction.
-
-    The statically-unrolled `trace` doubles the batch every level whether
-    or not lanes can actually spawn children; the reference's recursion
-    only descends on reflective/refractive surfaces. Here each level's
-    child batch is compacted to the live lanes (host sync per level),
-    padded to a power-of-two bucket so jit programs are reused, and the
-    upward combine scatters child results back through the recorded index
-    maps. Per-lane arithmetic is identical to `trace` — deterministic
-    scenes stay byte-identical."""
-
-    def __init__(self, ir_example: SceneIR, rt: RenderStatics):
-        self.rt = rt
-        self._fwd = jax.jit(
-            lambda ir, o, d, k: level_forward(ir, rt, o, d, k))
-
-        def _combine(ir, comps, direct, refl_raw, refr_raw):
-            total = combine_specular(ir, rt, comps, direct, refl_raw,
-                                     refr_raw)
-            return total.mask(comps.valid)
-
-        self._combine = jax.jit(_combine)
-
-    def trace(self, ir: SceneIR, orig, dirs, depth: int, key) -> Triple:
-        rt = self.rt
-        cfg = rt.cfg
-        want_refl = (cfg.include_specular and ir.meta.has_reflective
-                     and depth > 0)
-        want_refr = (cfg.include_specular and ir.meta.has_refractive
-                     and depth > 0)
-        R0 = orig.shape[0]
-        dtype = orig.dtype
-
-        levels = []
-        cur_o, cur_d = orig, dirs
-        for lvl in range(depth + 1):
-            lkey = None if key is None else jax.random.fold_in(key, lvl)
-            comps, direct, refl_act, refr_act, refr_dir = \
-                self._fwd(ir, cur_o, cur_d, lkey)
-            n = cur_o.shape[0]
-            entry = {"comps": comps, "direct": direct, "n": n,
-                     "refl_idx": None, "refr_idx": None, "child_n": 0}
-            levels.append(entry)
-            if lvl == depth or not (want_refl or want_refr):
-                break
-            refl_np = np.asarray(refl_act) if want_refl else None
-            refr_np = np.asarray(refr_act) if want_refr else None
-            os_, ds_ = [], []
-            if want_refl:
-                idx = np.nonzero(refl_np)[0]
-                entry["refl_idx"] = idx
-                if len(idx):
-                    os_.append(comps.over_point[idx])
-                    ds_.append(comps.reflectv[idx])
-            if want_refr:
-                idx = np.nonzero(refr_np)[0]
-                entry["refr_idx"] = idx
-                if len(idx):
-                    os_.append(comps.under_point[idx])
-                    ds_.append(refr_dir[idx])
-            n_child = sum(len(o) for o in os_)
-            entry["child_n"] = n_child
-            if n_child == 0:
-                break
-            bucket = _next_bucket(n_child)
-            pad = bucket - n_child
-            os_.append(jnp.full((pad, 3), 1e30, dtype))
-            ds_.append(jnp.ones((pad, 3), dtype))
-            cur_o = jnp.concatenate(os_)
-            cur_d = jnp.concatenate(ds_)
-
-        child_total: Optional[Triple] = None
-        for lvl in range(len(levels) - 1, -1, -1):
-            e = levels[lvl]
-            n = e["n"]
-            refl_raw = refr_raw = None
-            if child_total is not None and e["child_n"]:
-                off = 0
-                z = jnp.zeros((n, 3), dtype)
-                if want_refl:
-                    idx = e["refl_idx"]
-                    refl_raw = Triple(
-                        z.at[idx].set(child_total.a[off:off + len(idx)]),
-                        z.at[idx].set(child_total.d[off:off + len(idx)]),
-                        z.at[idx].set(child_total.s[off:off + len(idx)]))
-                    off += len(idx)
-                if want_refr:
-                    idx = e["refr_idx"]
-                    refr_raw = Triple(
-                        z.at[idx].set(child_total.a[off:off + len(idx)]),
-                        z.at[idx].set(child_total.d[off:off + len(idx)]),
-                        z.at[idx].set(child_total.s[off:off + len(idx)]))
-            child_total = self._combine(ir, e["comps"], e["direct"],
-                                        refl_raw, refr_raw)
-        return child_total

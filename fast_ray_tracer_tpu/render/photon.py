@@ -68,6 +68,10 @@ def cosine_hemisphere(key, normals):
     normals; also returns r1 (final_gather scales by it, renderer.c:662)."""
     R = normals.shape[0]
     r = jax.random.uniform(key, (R, 2), normals.dtype)
+    return _cosine_hemisphere_from_uniforms(r, normals)
+
+
+def _cosine_hemisphere_from_uniforms(r, normals):
     r1, r2 = r[:, 0], r[:, 1]
     rad = jnp.sqrt(r2)
     theta = 2.0 * jnp.pi * r1
@@ -232,6 +236,13 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
     np.cumsum(counts, out=start[1:])
     cap = int(min(counts.max(), max(64, int(np.percentile(
         counts[counts > 0], 99.5)))))
+    # never truncate silently: photons past `cap` in a dense cell would be
+    # invisible to queries — report how many (bounded by the 99.5th
+    # percentile clamp, usually zero)
+    lost = int(np.maximum(counts - cap, 0).sum())
+    if lost:
+        print(f"photon grid: per-cell cap {cap} hides {lost}/{n} photons "
+              f"({100.0 * lost / n:.2f}%) in over-dense cells", flush=True)
     return PhotonMap(
         pos=jnp.asarray(pos[order], dtype),
         power=jnp.asarray(power[order], dtype),
@@ -246,7 +257,15 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
                   caustic: bool, global_: bool, batch: int = 16384):
     """trace_photons (photon_tracer.c:202-257): apportion photons among
     lights by CIE-Lab lightness of their intensity, trace until each
-    light's target count is *stored*, scale powers by 1/photon_count."""
+    light's target count is *stored*, scale powers by 1/photon_count.
+
+    Tracing stays ON DEVICE end to end: each emission batch is traced,
+    its stores compacted (device-side nonzero) and appended into a
+    preallocated device buffer at a dynamic offset; the host reads ONE
+    scalar (the running store count) per batch to decide loop exit, and
+    the full buffer transfers once per map for the grid build. (The
+    previous design round-tripped every batch's full (L*n,3) arrays to
+    host for np.nonzero — ~3MB per 16k batch through the TPU tunnel.)"""
     cfg = rt.cfg
     num_photons = cfg.photon_count
     L_vals = [float(np.asarray(colorlib.rgb_to_lab(
@@ -254,22 +273,46 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
         for li in range(ir.meta.n_lights)]
     total_l = sum(L_vals) or 1.0
     targets = [int(num_photons * l / total_l) for l in L_vals]
+    total_target = sum(targets)
 
     step_fn = jax.jit(partial(photon_bounce_wave, ir, rt),
                       static_argnums=(0,))
+
+    @jax.jit
+    def append_stores(pos, pw, dr, st, bufs, count, limit):
+        """Compact this batch's stores and write them at [count, ...),
+        truncating exactly at `limit` (the reference stops a light's
+        tracing loop the moment its target count is stored)."""
+        b_pos, b_pw, b_dr = bufs
+        rank = jnp.cumsum(st.astype(jnp.int32)) - 1
+        dst = count + rank
+        ok = st & (dst < limit)
+        # mode='drop' discards writes from masked lanes (dst set to buffer
+        # size for them) — no host round-trip, no dynamic shapes
+        dst = jnp.where(ok, dst, b_pos.shape[0])
+        b_pos = b_pos.at[dst].set(pos, mode="drop")
+        b_pw = b_pw.at[dst].set(pw, mode="drop")
+        b_dr = b_dr.at[dst].set(dr, mode="drop")
+        new_count = jnp.minimum(count + jnp.sum(st.astype(jnp.int32)),
+                                limit)
+        return (b_pos, b_pw, b_dr), new_count
 
     maps = {}
     for map_type, enabled in ((CAUSTIC, caustic), (GLOBAL, global_)):
         if not enabled:
             maps[map_type] = None
             continue
-        P, W, D = [], [], []
-        stored = 0
-        want = sum(targets)
+        bufs = (jnp.zeros((total_target, 3), dtype),
+                jnp.zeros((total_target, 3), dtype),
+                jnp.zeros((total_target, 3), dtype))
+        count = jnp.int32(0)
+        limit = 0
         it = 0
         for li in range(ir.meta.n_lights):
-            got = 0
-            while got < targets[li]:
+            limit += targets[li]
+            stalls = 0
+            got = int(count)
+            while got < limit:
                 k = jax.random.fold_in(key, 7919 * map_type + 31 * li + it)
                 it += 1
                 o, d = emit_photons(ir, li, k, batch, dtype)
@@ -277,21 +320,18 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
                                          (batch, 3)).astype(dtype)
                 pos, pw, dr, st = step_fn(map_type, o, d, power,
                                           jax.random.fold_in(k, 1))
-                st = np.asarray(st)
-                take = np.nonzero(st)[0]
-                # stop exactly at the target (reference overshoots by at
-                # most one path; we truncate the final batch)
-                take = take[: targets[li] - got]
-                P.append(np.asarray(pos)[take])
-                W.append(np.asarray(pw)[take])
-                D.append(np.asarray(dr)[take])
-                got += len(take)
-                if len(take) == 0 and it > 10000:
+                bufs, count = append_stores(pos, pw, dr, st, bufs, count,
+                                            jnp.int32(limit))
+                new_got = int(count)        # one scalar sync per batch
+                stalls = stalls + 1 if new_got == got else 0
+                got = new_got
+                if stalls > 64:
                     break       # scene stores nothing (no diffuse surfaces)
-        if P and sum(len(p) for p in P):
-            pos = np.concatenate(P)
-            pw = np.concatenate(W) / float(num_photons)
-            dr = np.concatenate(D)
+        n_stored = int(count)
+        if n_stored:
+            pos = np.asarray(bufs[0][:n_stored])
+            pw = np.asarray(bufs[1][:n_stored]) / float(num_photons)
+            dr = np.asarray(bufs[2][:n_stored])
             maps[map_type] = build_photon_map(
                 pos, pw, dr, cfg.irradiance_estimate_radius, dtype)
         else:
@@ -408,16 +448,24 @@ def color_at_gi(ir: SceneIR, rt, pm_global: PhotonMap, orig, dirs, cfg):
 def final_gather(ir: SceneIR, rt, pm_global: PhotonMap, comps, key, cfg):
     """renderer.c:647-687: gi_usteps x gi_vsteps cosine-weighted hemisphere
     rays, each scaled by its first random coordinate (the reference's
-    'scale by theta' quirk), averaged with pdf_inv = 2*pi, times Kd."""
+    'scale by theta' quirk), averaged with pdf_inv = 2*pi, times Kd.
+
+    All R*S gather rays go through ONE wavefront intersection+estimate
+    pass (the reference loops the S samples serially per shading point,
+    renderer.c:665-679; one big batch is the TPU-native shape — same
+    arithmetic per ray, S-fold fewer passes)."""
     R = comps.p.shape[0]
     dtype = comps.p.dtype
     S = cfg.gi_usteps * cfg.gi_vsteps
-    total = jnp.zeros((R, 3), dtype)
-    for s in range(S):
-        ks = jax.random.fold_in(key, s)
-        d, r1 = cosine_hemisphere(ks, comps.normalv)
-        c = color_at_gi(ir, rt, pm_global, comps.over_point, d, cfg)
-        total = total + c * r1[:, None]
+    # per-sample keys match the serial fold_in sequence; rays are grouped
+    # sample-major so each (R,) sub-batch s keeps its own key stream
+    normals = jnp.broadcast_to(comps.normalv[None], (S, R, 3)).reshape(-1, 3)
+    keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(jnp.arange(S))
+    r = jax.vmap(lambda k: jax.random.uniform(k, (R, 2), dtype))(keys)
+    d, r1 = _cosine_hemisphere_from_uniforms(r.reshape(-1, 2), normals)
+    orig = jnp.broadcast_to(comps.over_point[None], (S, R, 3)).reshape(-1, 3)
+    c = color_at_gi(ir, rt, pm_global, orig, d, cfg)
+    total = jnp.sum((c * r1[:, None]).reshape(S, R, 3), axis=0)
     total = total * (2.0 * jnp.pi / S)
     return total * comps.over_Kd
 

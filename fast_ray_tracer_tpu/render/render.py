@@ -28,7 +28,7 @@ from fast_ray_tracer_tpu.render.camera import (
     build_camera, rays_for_pixels, sample_aperture,
 )
 from fast_ray_tracer_tpu.render.integrator import (
-    CompactTracer, Triple, build_statics, color_at,
+    Triple, build_statics, color_at,
 )
 
 
@@ -74,8 +74,14 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     # photon pass (generated main: trace_photons before rendering,
     # yaml_parser.py:201-216)
     cfg = scene.config
+    # two distinct gates (reference quirk): photons are TRACED when any of
+    # the three flags is set (generated main, yaml_parser.py:201), but GI
+    # terms are APPLIED at shading only under use_gi = include_global ||
+    # visualize_photon_map (setup_config, renderer.c:62) — a scene setting
+    # only visualize-soft-indirect traces photons and never reads them.
     use_gi = (cfg.include_global or cfg.visualize_photon_map
               or cfg.visualize_soft_indirect)
+    shade_gi = cfg.include_global or cfg.visualize_photon_map
     if cfg.photon_count > 0 and use_gi:
         from fast_ray_tracer_tpu.render import photon
         pm_key = jax.random.PRNGKey(1234) if key is None else \
@@ -87,7 +93,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             ir, rt, pm_key, dtype,
             caustic=cfg.include_caustics,
             global_=cfg.include_final_gather)
-        cfg._gi_hook = photon.make_gi_hook(pmaps, cfg)
+        if shade_gi:
+            cfg._gi_hook = photon.make_gi_hook(pmaps, cfg)
 
     needs_rng = (cam.aperture.jitter or cam.aperture.kind not in
                  ("POINT_APERTURE", "HEXAGONAL_APERTURE",
@@ -107,18 +114,13 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     # pixels, matching sampler reset semantics)
     det_table = jnp.asarray(cmj_points_static(cam.usteps, cam.vsteps), dtype)
 
-    # active-lane compaction pays off whenever the bounce tree is real.
-    # On CPU the host-driven CompactTracer wins (cheap syncs, cheap
-    # compiles); on TPU per-level host syncs through the device tunnel
-    # cost more than they save, so the device-side static-bucket
-    # compaction (integrator.trace_bucketed) runs instead, with an
-    # overflow fallback to the exact unrolled trace.
-    use_compact = ir.meta.has_reflective or ir.meta.has_refractive \
-        or getattr(scene.config, "_gi_hook", None) is not None
-    on_cpu = jax.default_backend() == "cpu"
-    tracer = CompactTracer(ir, rt) if use_compact and on_cpu else None
-    use_bucketed = use_compact and not on_cpu \
-        and getattr(scene.config, "_gi_hook", None) is None
+    # device-side static-bucket wavefront compaction
+    # (integrator.trace_bucketed) is THE compacted path on every backend:
+    # a cheap probe measures per-level spawn counts, the render compiles
+    # with tight static buckets, and the overflow flag falls back to the
+    # exact 2^depth unrolled trace. Scenes with no specular tree (and no
+    # GI) skip compaction entirely — one level, nothing to compact.
+    use_bucketed = ir.meta.has_reflective or ir.meta.has_refractive
 
     @partial(jax.jit, static_argnums=())
     def chunk_rays(px, py, chunk_key):
@@ -156,14 +158,6 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         return (a + d + s) / 3.0
 
     avg_jit = jax.jit(_avg)
-
-    def render_chunk_compact(ir_in, px, py, chunk_key):
-        orig, dirs = chunk_rays(px, py, chunk_key)
-        ray_key = None
-        if chunk_key is not None:
-            ray_key = jax.random.fold_in(chunk_key, 1)
-        triple = tracer.trace(ir_in, orig, dirs, path_length, ray_key)
-        return avg_jit(triple)
 
     bucketed_fns = {}
 
@@ -219,12 +213,7 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
         py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
         ck = None if key is None else jax.random.fold_in(key, c)
-        if use_bucketed:
-            fn = render_chunk_bucketed
-        elif tracer is not None:
-            fn = render_chunk_compact
-        else:
-            fn = render_chunk
+        fn = render_chunk_bucketed if use_bucketed else render_chunk
         res = fn(ir, jnp.asarray(px), jnp.asarray(py), ck)
         out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
         if checkpoint_path is not None and (

@@ -150,3 +150,43 @@ def test_nested_group_world_to_object_equivalent():
     ts = _ts(ir, [0, 0, -20], [0, 0, 1])   # center (0,0,-10), radius 2
     assert ts.size == 2
     assert np.allclose(ts, [8.0, 12.0], atol=1e-9)
+
+
+def test_containers_walk_equivalence():
+    """containers_n1_n2 (sort-free, per-prim parity) must reproduce the
+    top_k-based refraction_indices walk on randomized candidate lists."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fast_ray_tracer_tpu.ops.intersect import (
+        containers_n1_n2, slot_tables, sorted_hits,
+    )
+    from fast_ray_tracer_tpu.render.integrator import refraction_indices
+    from fast_ray_tracer_tpu.scene import ir as IR
+
+    class Meta:
+        # 3 spheres, 1 cylinder, 2 triangles: mixed k, contiguous blocks
+        type_ranges = ((IR.SPHERE, 0, 3), (IR.CYLINDER, 3, 1))
+        n_triangles = 2
+        n_analytic = 4
+        use_clusters = False
+
+    slot_prim = slot_tables(Meta)
+    H = len(slot_prim)
+    rng = np.random.default_rng(7)
+    R = 512
+    prim_ni = jnp.asarray(rng.uniform(1.0, 2.5, 6))
+    # candidate ts: mix of misses, negatives, duplicates-of-the-hit
+    t = rng.uniform(-3.0, 9.0, (R, H))
+    t[rng.random((R, H)) < 0.35] = np.inf
+    t_cand = jnp.asarray(t)
+    tpos = np.where(t > 0, t, np.inf)
+    t_hit = jnp.asarray(tpos.min(axis=1))     # first positive hit (or inf)
+
+    ts, ps = sorted_hits(t_cand, slot_prim, H)
+    n1_old, n2_old = refraction_indices(ts, ps, t_hit, prim_ni)
+    n1_new, n2_new = containers_n1_n2(Meta, t_cand, t_hit, prim_ni)
+    hitv = np.isfinite(np.asarray(t_hit))     # garbage allowed on misses
+    np.testing.assert_allclose(np.asarray(n1_new)[hitv],
+                               np.asarray(n1_old)[hitv], rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(n2_new)[hitv],
+                               np.asarray(n2_old)[hitv], rtol=0, atol=0)
