@@ -11,9 +11,16 @@ this machine for the identical 400x200 scene (.baseline/golden/timings.txt,
 1.329 s -> 80000 px * 126 / 1.329 s = 7.58M rays/s on 2 CPU cores with 4
 threads).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the required driver keys {"metric", "value",
+"unit", "vs_baseline"} plus an "extras" dict carrying the secondary
+driver metrics (forward+backward ms, Cornell-box GI throughput, mesh
+throughput, multi-device scaling) and per-phase timings.
+
+Run with --profile <dir> to capture a jax.profiler trace of the headline
+render loop.
 """
 
+import argparse
 import json
 import time
 
@@ -21,26 +28,34 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from fast_ray_tracer_tpu.utils import (
+    PhaseTimer, enable_compile_cache, trace_context,
+)
+
+enable_compile_cache()
 
 REF_WALL_S = 1.329          # reference reflect_refract 400x200 (timings.txt)
 REF_PIXELS = 400 * 200
 RAYS_PER_PIXEL = 126        # 63 trace + 63 shadow (depth-5, 2 children, 1 light)
 
 
-def main():
-    from fast_ray_tracer_tpu.render.camera import build_camera
-    from fast_ray_tracer_tpu.render.integrator import build_statics
-    from fast_ray_tracer_tpu.render.render import pixel_colors
+def bench_glass_spheres(timer: PhaseTimer, profile_dir=None):
+    """Headline: rays/s on the depth-5 glass scene, bucketed wavefront."""
+    from fast_ray_tracer_tpu.render.camera import build_camera, rays_for_pixels
+    from fast_ray_tracer_tpu.render.integrator import (
+        build_statics, spawn_counts, trace_bucketed,
+    )
     from fast_ray_tracer_tpu.sampling.cmj import cmj_points_static
     from fast_ray_tracer_tpu.scene.compile import compile_scene
     from fast_ray_tracer_tpu.scene.demo import glass_spheres
 
     W, H = 800, 400
     dtype = jnp.float32
-    scene = glass_spheres(W, H)
-    ir = compile_scene(scene, dtype=dtype)
-    cam_rt = build_camera(scene.camera, dtype=dtype)
-    rt = build_statics(ir, scene.config)
+    with timer.phase("compile_scene"):
+        scene = glass_spheres(W, H)
+        ir = compile_scene(scene, dtype=dtype)
+        cam_rt = build_camera(scene.camera, dtype=dtype)
+        rt = build_statics(ir, scene.config)
     path_length = scene.config.di_path_length
 
     n = W * H
@@ -51,37 +66,29 @@ def main():
 
     chunk = 80000
     n_chunks = n // chunk
-
-    # static-bucket wavefront compaction (integrator.trace_bucketed):
-    # device-side nonzero compaction with compile-time bucket sizes —
-    # ~6-10x fewer lanes than the 2^depth exact expansion, zero host
-    # syncs, per-lane arithmetic identical
-    from fast_ray_tracer_tpu.render.camera import rays_for_pixels
-    from fast_ray_tracer_tpu.render.integrator import (
-        spawn_counts, trace_bucketed,
-    )
-
-    # one-time per-scene calibration: measure per-level live-children
-    # counts, then compile the render with tight static buckets
-    @jax.jit
-    def probe(px_c, py_c, uv_c, ap_c):
-        o, d = rays_for_pixels(cam_rt, px_c, py_c, uv_c, ap_c)
-        return spawn_counts(ir, rt, o, d, path_length, None)
-
     chunks = [(px[c * chunk:(c + 1) * chunk],
                py[c * chunk:(c + 1) * chunk],
                uv[c * chunk:(c + 1) * chunk],
                ap[c * chunk:(c + 1) * chunk]) for c in range(n_chunks)]
 
-    # per-chunk buckets rounded up to 4096 lanes. The margin absorbs
-    # boundary-lane flips between the probe and render programs (XLA
-    # fuses them differently -> last-ulp f32 differences cascade through
-    # bounce levels); the overflow flag triggers a wider-margin retry.
-    def bucket_sizes(counts, margin, quantum=4096):
-        return tuple(int(np.ceil(c * margin / quantum)) * quantum
-                     for c in counts)
+    # one-time calibration: per-level live-children counts, max over
+    # chunks -> ONE bucket tuple -> ONE compiled render program (remote
+    # compiles through the TPU tunnel cost minutes; shared buckets trade
+    # a few % more lanes for a single compile)
+    @jax.jit
+    def probe(px_c, py_c, uv_c, ap_c):
+        o, d = rays_for_pixels(cam_rt, px_c, py_c, uv_c, ap_c)
+        return spawn_counts(ir, rt, o, d, path_length, None)
 
-    chunk_counts = [[int(x) for x in probe(*args)] for args in chunks]
+    with timer.phase("probe_buckets"):
+        worst = [0] * path_length
+        for args in chunks:
+            for i, c in enumerate(probe(*args)):
+                worst[i] = max(worst[i], int(c))
+
+    def bucket_tuple(margin, quantum=4096):
+        return tuple(int(np.ceil(w * margin / quantum)) * quantum
+                     for w in worst)
 
     render_fns = {}
 
@@ -96,38 +103,59 @@ def main():
             render_fns[buckets] = f
         return render_fns[buckets]
 
-    def full_render():
-        outs = []
-        for c in range(n_chunks):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            f = render_chunk_fn(chunk_buckets[c])
-            outs.append(f(ir, px[sl], py[sl], uv[sl], ap[sl]))
+    def full_render(buckets):
+        f = render_chunk_fn(buckets)
+        outs = [f(ir, *args) for args in chunks]
         jax.block_until_ready(outs)
         return (jnp.concatenate([o[0] for o in outs]),
                 any(bool(o[1]) for o in outs))
 
-    for margin in (1.12, 1.3, 1.6):
-        chunk_buckets = [bucket_sizes(c, margin) for c in chunk_counts]
-        img, overflow = full_render()   # warmup / compile
-        if not overflow:
-            break
-    assert not overflow, "bucket overflow even at margin 1.6"
+    with timer.phase("warmup_compile"):
+        for margin in (1.12, 1.3, 1.6):
+            buckets = bucket_tuple(margin)
+            img, overflow = full_render(buckets)   # warmup / compile
+            if not overflow:
+                break
+        assert not overflow, "bucket overflow even at margin 1.6"
+
     times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        img, overflow = full_render()
-        times.append(time.perf_counter() - t0)
+    with timer.phase("render_timed"), trace_context(profile_dir):
+        for _ in range(3):
+            t0 = time.perf_counter()
+            img, overflow = full_render(buckets)
+            times.append(time.perf_counter() - t0)
     wall = min(times)
     assert not overflow
     assert bool(jnp.isfinite(img).all())
+    return n * RAYS_PER_PIXEL / wall
 
-    rays_per_s = n * RAYS_PER_PIXEL / wall
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="jax.profiler trace dir for the headline render")
+    ap.add_argument("--skip-extras", action="store_true",
+                    help="headline metric only")
+    args = ap.parse_args()
+
+    timer = PhaseTimer()
+    rays_per_s = bench_glass_spheres(timer, args.profile)
     ref_rays_per_s = REF_PIXELS * RAYS_PER_PIXEL / REF_WALL_S
+
+    extras = {"phases": {p["phase"]: round(p["seconds"], 2)
+                         for p in timer.phases}}
+    if not args.skip_extras:
+        import bench_extras
+        extras.update(bench_extras.run(timer))
+        extras["phases"] = {p["phase"]: round(p["seconds"], 2)
+                            for p in timer.phases}
+
     print(json.dumps({
         "metric": "glass_spheres_whitted_d5_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / ref_rays_per_s, 3),
+        "extras": extras,
     }))
 
 

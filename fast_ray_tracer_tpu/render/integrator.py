@@ -553,8 +553,22 @@ def refract_direction(comps: Comps):
         - comps.eyev * n_ratio[:, None]
 
 
+def _make_level_fn(rt: RenderStatics, remat: bool):
+    """(ir, o, d, key) -> (Comps, direct Triple), optionally wrapped in
+    jax.checkpoint: under grad, each wavefront level's big intermediates
+    (candidate t tables, shadow-ray batches, pattern evals) are
+    rematerialized instead of stored — activation memory drops from
+    O(levels * R * H) to O(levels * R). Forward-only execution is
+    unchanged (checkpoint is an identity outside differentiation)."""
+    def _level(ir, cur_o, cur_d, lkey):
+        comps = prepare_computations(ir, rt, cur_o, cur_d)
+        direct = shade_direct(ir, rt, comps, lkey)
+        return comps, direct
+    return jax.checkpoint(_level) if remat else _level
+
+
 def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
-          key) -> Triple:
+          key, remat: bool = False) -> Triple:
     """Wavefront Whitted trace: the reference's branching recursion
     (reflect + refract children, depth `remaining`) evaluated one *level*
     at a time over concatenated child batches — a graph linear in depth
@@ -562,13 +576,13 @@ def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
     cfg = rt.cfg
     want_refl = cfg.include_specular and ir.meta.has_reflective and depth > 0
     want_refr = cfg.include_specular and ir.meta.has_refractive and depth > 0
+    level_fn = _make_level_fn(rt, remat)
 
     levels = []
     cur_o, cur_d = orig, dirs
     for lvl in range(depth + 1):
         lkey = None if key is None else jax.random.fold_in(key, lvl)
-        comps = prepare_computations(ir, rt, cur_o, cur_d)
-        direct = shade_direct(ir, rt, comps, lkey)
+        comps, direct = level_fn(ir, cur_o, cur_d, lkey)
         levels.append((comps, direct))
         if lvl == depth:
             break
@@ -816,6 +830,6 @@ def schlick(comps: Comps):
 
 
 def color_at(ir: SceneIR, rt: RenderStatics, orig, dirs, remaining: int,
-             key) -> Triple:
+             key, remat: bool = False) -> Triple:
     """renderer.c:347-366 for a ray batch (wavefront implementation)."""
-    return trace(ir, rt, orig, dirs, remaining, key)
+    return trace(ir, rt, orig, dirs, remaining, key, remat=remat)

@@ -33,15 +33,17 @@ from fast_ray_tracer_tpu.render.integrator import (
 
 
 def pixel_colors(ir: SceneIR, rt, cam_rt, px_r, py_r, uv_r, ap,
-                 n_samples: int, path_length: int, key=None):
+                 n_samples: int, path_length: int, key=None,
+                 remat: bool = False):
     """Pure forward: pixel ids (+ subpixel uv, aperture offsets), repeated
     n_samples times per pixel -> (n_pixels, 3) linear canvas colors.
 
     This is the differentiable render core shared by render_scene and the
     training step (parallel/train.py): per-sample color_at, per-pixel
-    average, final (A + D + S) / 3 (renderer.c:174-230)."""
+    average, final (A + D + S) / 3 (renderer.c:174-230). `remat=True`
+    checkpoints each wavefront level for the backward pass."""
     orig, dirs = rays_for_pixels(cam_rt, px_r, py_r, uv_r, ap)
-    triple = color_at(ir, rt, orig, dirs, path_length, key)
+    triple = color_at(ir, rt, orig, dirs, path_length, key, remat=remat)
     n = px_r.shape[0] // n_samples
     a = triple.a.reshape(n, n_samples, 3).mean(axis=1)
     d = triple.d.reshape(n, n_samples, 3).mean(axis=1)
@@ -53,7 +55,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                  chunk_pixels: int = 8192, key=None,
                  progress: bool = False,
                  checkpoint_path: Optional[str] = None,
-                 checkpoint_every: int = 8) -> np.ndarray:
+                 checkpoint_every: int = 8,
+                 mesh=None) -> np.ndarray:
     """Render a scene to an (H, W, 3) float canvas (linear, pre-encode).
 
     Deterministic configs (no jitter, point aperture) need no key and
@@ -65,6 +68,16 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     restart (new capability vs the reference, which loses a killed render
     — SURVEY.md §5). Chunks are deterministic in (key, chunk index), so a
     resumed render is identical to an uninterrupted one.
+
+    With `mesh` (a 1-D jax Mesh over the 'batch' axis, see
+    parallel/mesh.py) each chunk's pixels shard over the devices via
+    shard_map: the scene tables are replicated, every device runs the
+    bucketed wavefront over ITS OWN shard (per-device compaction — no
+    cross-device nonzero), and the only communication is the final
+    per-chunk gather. Per-lane arithmetic is identical to the
+    single-device path. Multi-host: make the mesh span all processes'
+    devices (parallel/distributed.py) — each host feeds its addressable
+    shard of the chunk.
     """
     ir = compile_scene(scene, dtype=dtype)
     cam = scene.camera
@@ -159,6 +172,81 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
 
     avg_jit = jax.jit(_avg)
 
+    # ---- multi-device sharded chunk path (mesh is not None) -----------
+    sharded_fns = {}
+
+    def render_chunk_sharded(ir_in, px, py, chunk_key):
+        """shard_map over the mesh's 'batch' axis: each device traces its
+        own pixel shard with per-device static-bucket compaction (nonzero
+        stays shard-local — no cross-device data movement until the final
+        gather). Stochastic chunks fold the device index into the key so
+        shards draw disjoint random streams."""
+        try:
+            from jax import shard_map
+        except ImportError:          # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from fast_ray_tracer_tpu.render.integrator import (
+            spawn_counts, trace_bucketed,
+        )
+        ndev = int(np.prod(mesh.devices.shape))
+        ir_spec = jax.tree_util.tree_map(lambda _: P(), ir_in)
+
+        def local_rays(px_b, py_b, ck):
+            if ck is not None:
+                ck = jax.random.fold_in(ck, jax.lax.axis_index("batch"))
+            o, d = chunk_rays(px_b, py_b, ck)
+            rk = None if ck is None else jax.random.fold_in(ck, 1)
+            return o, d, rk
+
+        if use_bucketed and "probe" not in sharded_fns:
+            def probe_body(ir_b, px_b, py_b, ck):
+                o, d, rk = local_rays(px_b, py_b, ck)
+                c = spawn_counts(ir_b, rt, o, d, path_length, rk)
+                return jnp.stack(c)[None] if c else jnp.zeros((1, 0),
+                                                              jnp.int32)
+            sharded_fns["probe"] = jax.jit(shard_map(
+                probe_body, mesh=mesh,
+                in_specs=(ir_spec, P("batch"), P("batch"), P()),
+                out_specs=P("batch")))
+
+        if use_bucketed:
+            counts = np.asarray(
+                sharded_fns["probe"](ir_in, px, py, chunk_key))
+            buckets = tuple(
+                max(256, int(math.ceil(c * 1.15 / 1024)) * 1024)
+                for c in counts.max(axis=0))
+        else:
+            buckets = ()
+
+        if buckets not in sharded_fns:
+            def render_body(ir_b, px_b, py_b, ck, _b=buckets):
+                o, d, rk = local_rays(px_b, py_b, ck)
+                if use_bucketed:
+                    tr, ovf = trace_bucketed(ir_b, rt, o, d, path_length,
+                                             rk, list(_b))
+                else:
+                    tr = color_at(ir_b, rt, o, d, path_length, rk)
+                    ovf = jnp.bool_(False)
+                return _avg(tr), ovf[None]
+            sharded_fns[buckets] = jax.jit(shard_map(
+                render_body, mesh=mesh,
+                in_specs=(ir_spec, P("batch"), P("batch"), P()),
+                out_specs=(P("batch"), P("batch"))))
+        res, ovf = sharded_fns[buckets](ir_in, px, py, chunk_key)
+        if use_bucketed and bool(jnp.any(ovf)):
+            # widen-margin retry: exact unrolled fallback under shard_map
+            if "exact" not in sharded_fns:
+                def exact_body(ir_b, px_b, py_b, ck):
+                    o, d, rk = local_rays(px_b, py_b, ck)
+                    return _avg(color_at(ir_b, rt, o, d, path_length, rk))
+                sharded_fns["exact"] = jax.jit(shard_map(
+                    exact_body, mesh=mesh,
+                    in_specs=(ir_spec, P("batch"), P("batch"), P()),
+                    out_specs=P("batch")))
+            res = sharded_fns["exact"](ir_in, px, py, chunk_key)
+        return res
+
     bucketed_fns = {}
 
     def render_chunk_bucketed(ir_in, px, py, chunk_key):
@@ -191,6 +279,9 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         return avg_jit(triple)
 
     total = W * H
+    if mesh is not None:
+        ndev = int(np.prod(mesh.devices.shape))
+        chunk_pixels = -(-chunk_pixels // ndev) * ndev   # divisible shards
     xs = np.tile(np.arange(W, dtype=np.int32), H)
     ys = np.repeat(np.arange(H, dtype=np.int32), W)
     out = np.zeros((total, 3), dtype=np.float64)
@@ -213,7 +304,10 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
         py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
         ck = None if key is None else jax.random.fold_in(key, c)
-        fn = render_chunk_bucketed if use_bucketed else render_chunk
+        if mesh is not None:
+            fn = render_chunk_sharded
+        else:
+            fn = render_chunk_bucketed if use_bucketed else render_chunk
         res = fn(ir, jnp.asarray(px), jnp.asarray(py), ck)
         out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
         if checkpoint_path is not None and (

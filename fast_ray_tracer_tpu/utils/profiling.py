@@ -57,6 +57,18 @@ def rays_per_second(n_pixels: int, samples_per_pixel: int,
     return n_pixels * samples_per_pixel * rays_per_sample / max(seconds, 1e-12)
 
 
+def enable_compile_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache. Remote-compile backends (the axon
+    TPU tunnel) take minutes per cold compile of a full render program;
+    the on-disk cache cuts warm starts to ~1s. Safe to call repeatedly."""
+    import os
+    path = path or os.environ.get(
+        "FRT_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_comp"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 @contextlib.contextmanager
 def trace_context(log_dir: Optional[str]):
     """jax.profiler trace capture (view with xprof/tensorboard). No-op when

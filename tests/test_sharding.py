@@ -103,3 +103,17 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(s8.params[k]),
                                    np.asarray(s1.params[k]),
                                    rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+@needs_devices
+def test_render_scene_sharded_matches_single_device():
+    """render_scene(mesh=...) — the production sharded path (shard_map +
+    per-device bucket compaction) must byte-match the single-device
+    render on a deterministic scene."""
+    from fast_ray_tracer_tpu.render.render import render_scene
+    scene = glass_spheres(W, H)
+    ref = render_scene(scene, dtype=jnp.float64, chunk_pixels=128)
+    mesh = make_mesh(8)
+    out = render_scene(scene, dtype=jnp.float64, chunk_pixels=128,
+                       mesh=mesh)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-12)
