@@ -297,21 +297,28 @@ def intersect_candidates(ir: SceneIR, orig, dirs) -> jnp.ndarray:
 # CSG filtering
 # ---------------------------------------------------------------------------
 
-def csg_static_tables(meta, slot_prim: np.ndarray, prim_csg: np.ndarray,
-                      prim_anc: np.ndarray, prim_side: np.ndarray):
-    """Static per-tree slot lists, ancestor/side masks, and the postorder
-    filter program with group branches resolved to per-slot indices."""
+def csg_static_tables(meta, slot_prim: np.ndarray, prim_csg, prim_anc,
+                      prim_side):
+    """Static per-tree slot lists and the postorder filter program.
+
+    prim_csg/prim_anc/prim_side are sequences of PYTHON ints (arbitrary
+    precision — trees of any node count, no 31-bit i32 mask cap): the
+    per-node membership/side bits are resolved HERE into static (K,) bool
+    arrays per program entry, so no bitmask ever reaches the device."""
     trees = []
-    slot_csg = prim_csg[slot_prim]
-    slot_anc = prim_anc[slot_prim]
-    slot_side = prim_side[slot_prim]
+    slot_csg = np.asarray([prim_csg[p] for p in slot_prim], np.int64)
     for t, prog in enumerate(meta.csg_trees):
         slots = np.nonzero(slot_csg == t)[0].astype(np.int32)
         tree_prims = slot_prim[slots]
         entries = []
         for e in prog:
             if e[0] == "c":
-                entries.append(e)
+                _, nid, op = e
+                in_node = np.asarray(
+                    [(prim_anc[p] >> nid) & 1 == 1 for p in tree_prims])
+                lhit = np.asarray(
+                    [(prim_side[p] >> nid) & 1 == 0 for p in tree_prims])
+                entries.append(("c", in_node, lhit, op))
             else:
                 # branch index per tree-slot (-1 = not under this group)
                 branch = np.full(len(slots), -1, np.int32)
@@ -319,8 +326,7 @@ def csg_static_tables(meta, slot_prim: np.ndarray, prim_csg: np.ndarray,
                     for prim in prims:
                         branch[tree_prims == prim] = b
                 entries.append(("g", len(e[1]), branch))
-        trees.append((slots, slot_anc[slots].astype(np.int32),
-                      slot_side[slots].astype(np.int32), tuple(entries)))
+        trees.append((slots, tuple(entries)))
     return trees
 
 
@@ -341,15 +347,13 @@ def apply_csg_filter(t_cand, csg_tables, shadow: bool = False):
     contribute nothing — is_shadowed sees a partially-built csg hit list
     (renderer.c:73-93 passes true)."""
     out = t_cand
-    for slots, ancs, sides, prog in csg_tables:
+    for slots, prog in csg_tables:
         K = len(slots)
         if K == 0:
             continue
         ts = out[:, slots]                                  # (R,K)
         order = jnp.argsort(ts, axis=-1)                    # ascending
         ts_s = jnp.take_along_axis(ts, order, axis=-1)
-        anc_s = jnp.asarray(ancs)[order]                    # (R,K)
-        side_s = jnp.asarray(sides)[order]                  # (R,K)
         alive = jnp.isfinite(ts_s)
         for e in prog:
             if e[0] == "g":
@@ -364,9 +368,9 @@ def apply_csg_filter(t_cand, csg_tables, shadow: bool = False):
                     pos_b = jnp.any(member & alive & (ts_s > 0), axis=-1)
                     stopped = stopped | pos_b
                 continue
-            _, nid, op = e
-            in_node = alive & (((anc_s >> nid) & 1) == 1)
-            lhit = (side_s >> nid) & 1 == 0
+            _, in_node_static, lhit_static, op = e
+            in_node = alive & jnp.asarray(in_node_static)[order]
+            lhit = jnp.asarray(lhit_static)[order]
             l_tog = (in_node & lhit).astype(jnp.int32)
             r_tog = (in_node & ~lhit).astype(jnp.int32)
             inl = (jnp.cumsum(l_tog, axis=-1) - l_tog) % 2 == 1

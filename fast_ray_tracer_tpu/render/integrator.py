@@ -88,14 +88,11 @@ def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
         tri_shadow = ir.mat_casts_shadow[ir.tri_material_id]
     csg_tables = ()
     if meta.has_csg:
-        prim_csg = np.concatenate([np.asarray(ir.csg_leaf),
-                                   np.asarray(ir.tri_csg_leaf)])
-        prim_anc = np.concatenate([np.asarray(ir.csg_anc),
-                                   np.asarray(ir.tri_csg_anc)])
-        prim_side = np.concatenate([np.asarray(ir.csg_side),
-                                    np.asarray(ir.tri_csg_side)])
-        csg_tables = tuple(csg_static_tables(meta, slot_prim, prim_csg,
-                                             prim_anc, prim_side))
+        # static Python-int tables (meta) — arbitrary tree sizes, no i32
+        # bitmask cap; triangles participate like any other leaf
+        csg_tables = tuple(csg_static_tables(
+            meta, slot_prim, meta.csg_prim_leaf, meta.csg_prim_anc,
+            meta.csg_prim_side))
     return RenderStatics(slot_prim=slot_prim, prim_mat=prim_mat,
                          slot_shadow=slot_shadow, slot_rank=slot_rank,
                          prim_ni=prim_ni, tri_rank=tri_rank,

@@ -295,7 +295,8 @@ def _walk(shape: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
         t2 = shape.t2[:2] if use_tex else (0.0, 0.0)
         t3 = shape.t3[:2] if use_tex else (0.0, 0.0)
         tables.t_rows.append((p1, p2 - p1, p3 - p1, n1, n2, n3,
-                              t1, t2, t3, use_tex, mat_id, csg_id, csg_side))
+                              t1, t2, t3, use_tex, mat_id, csg_id, csg_side,
+                              0))
         tables.t_doc.append(tables.next_leaf)
         nodes.append(div.Node(
             kind="triangle", transform=m_flat, leaf_id=tables.next_leaf,
@@ -342,10 +343,11 @@ def _walk_csg_child(sub: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
     m_flat = m_local.ravel().tolist()
 
     if sub.kind == "csg":
+        # node ids are unbounded: ancestor/side masks are Python ints end
+        # to end (csg_static_tables resolves them to static bool tables),
+        # so trees of any internal-node count work
         nid = nid_alloc[0]
         nid_alloc[0] += 1
-        if nid > 30:
-            raise NotImplementedError("csg trees with >31 internal nodes")
         tree_nodes.append((nid, depth, _CSG_OPS[sub.op]))
         mat = (tables.add_material(sub.material)
                if sub.material is not None else inherited_mat)
@@ -368,7 +370,19 @@ def _walk_csg_child(sub: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
         return node
 
     if sub.kind == "obj":
-        raise NotImplementedError("obj meshes inside CSG")
+        # the reference's csg() accepts any shape, including OBJ groups
+        # (src/shapes/csg.c:166-206; yaml_parser/shapes.py:330-367): the
+        # mesh's triangles become ordinary leaves of this tree. Dense
+        # candidate slots are required (cluster streaming bypasses the
+        # csg filter), so compile_scene keeps csg meshes unclustered.
+        from fast_ray_tracer_tpu.scene.obj_loader import load_obj_into
+        tmp: List[div.Node] = []
+        load_obj_into(sub, m_world, tables, tree_id, side, tmp, m_flat,
+                      csg_anc=anc, csg_doc=doc,
+                      inherited_mat=inherited_mat)
+        node = tmp[0]
+        node.leaf_id = doc
+        return node
 
     mat_id = (tables.add_material(sub.material)
               if sub.material is not None else
@@ -376,7 +390,35 @@ def _walk_csg_child(sub: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
                else tables.add_material(None)))
 
     if sub.kind in ("triangle", "smooth_triangle"):
-        raise NotImplementedError("triangles inside CSG")
+        lin = m_world[:3, :3]
+        nrm_m = np.linalg.inv(m_world)[:3, :3].T
+        p1 = lin @ sub.p1 + m_world[:3, 3]
+        p2 = lin @ sub.p2 + m_world[:3, 3]
+        p3 = lin @ sub.p3 + m_world[:3, 3]
+        if sub.kind == "triangle":
+            e1o = np.asarray(sub.p2) - np.asarray(sub.p1)
+            e2o = np.asarray(sub.p3) - np.asarray(sub.p1)
+            n_obj = np.cross(e2o, e1o)
+            n_obj = n_obj / np.linalg.norm(n_obj)
+            n = nrm_m @ n_obj
+            n1 = n2 = n3 = n
+        else:
+            n1 = nrm_m @ sub.n1
+            n2 = nrm_m @ sub.n2
+            n3 = nrm_m @ sub.n3
+        use_tex = sub.t1 is not None
+        t1 = sub.t1[:2] if use_tex else (0.0, 0.0)
+        t2 = sub.t2[:2] if use_tex else (0.0, 0.0)
+        t3 = sub.t3[:2] if use_tex else (0.0, 0.0)
+        tables.t_rows.append((p1, p2 - p1, p3 - p1, n1, n2, n3,
+                              t1, t2, t3, use_tex, mat_id, tree_id, side,
+                              anc))
+        tables.t_doc.append(doc)
+        return div.Node(
+            kind="triangle", transform=m_flat, leaf_id=doc,
+            tag=("t", len(tables.t_rows) - 1),
+            obj_box=div.leaf_box("triangle",
+                                 points=[sub.p1, sub.p2, sub.p3]))
 
     typ = _KIND_TO_TYPE[sub.kind]
     params = [0.0, 0.0, 0.0, 0.0]
@@ -391,19 +433,25 @@ def _walk_csg_child(sub: ShapeDesc, parent_m: np.ndarray, tables: _Tables,
     tables.a_csg.append((tree_id, anc, side))
     tables.a_doc.append(doc)
     return div.Node(kind=sub.kind, transform=m_flat, leaf_id=doc,
-                    tag=len(tables.a_csg) - 1,
+                    tag=("a", len(tables.a_csg) - 1),
                     obj_box=div.leaf_box(sub.kind, minimum=sub.minimum,
                                          maximum=sub.maximum, r1=sub.r1,
                                          r2=sub.r2))
 
 
-def _leaf_tags(node: div.Node, out: List[int]) -> None:
+def _leaf_tags(node: div.Node, out: List) -> None:
+    """Collect leaf tags: ('a', analytic-row), ('t', triangle-row) or
+    ('b', block, local) — resolved to final global prim ids at the end of
+    compile_scene (analytic rows are type-sorted; triangle/block rows get
+    offset by the analytic count)."""
     if node.kind == "csg":
         _leaf_tags(node.left, out)
         _leaf_tags(node.right, out)
     elif node.kind == "group":
         for c in node.children:
             _leaf_tags(c, out)
+    elif node.kind == "leafblock":
+        out.extend(node.block_tags)
     else:
         out.append(node.tag)
 
@@ -427,6 +475,7 @@ def _csg_prog(root: div.Node, nid_ops: Dict[int, int], threshold: int):
     tree."""
     import copy
     node = copy.deepcopy(root)
+    div.expand_leafblocks(node)     # csg obj meshes: per-triangle leaves
     div.divide(node, threshold)
     prog: List[Tuple] = []
 
@@ -480,29 +529,12 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
               else np.zeros((0, 4)))
     a_mat = (np.asarray(tables.a_mat, dtype=np.int64)[order] if len(order)
              else np.zeros(0, np.int64))
-    a_csg = (np.asarray([c for c, _, _ in tables.a_csg],
-                        dtype=np.int64)[order]
-             if len(order) else np.zeros(0, np.int64))
-    a_anc = (np.asarray([a for _, a, _ in tables.a_csg],
-                        dtype=np.int64)[order]
-             if len(order) else np.zeros(0, np.int64))
-    a_side = (np.asarray([sd for _, _, sd in tables.a_csg],
-                         dtype=np.int64)[order]
-              if len(order) else np.zeros(0, np.int64))
+    # csg tags stay PYTHON ints (arbitrary-precision masks; no node cap)
+    a_csg_l = [tables.a_csg[int(i)][0] for i in order]
+    a_anc_l = [tables.a_csg[int(i)][1] for i in order]
+    a_side_l = [tables.a_csg[int(i)][2] for i in order]
     a_rank = (doc_rank[np.asarray(tables.a_doc, dtype=np.int64)][order]
               if len(order) else np.zeros(0, np.int64))
-
-    # remap csg-program leaf rows (pre-sort a_csg indices) to final prim ids
-    if csg_progs and len(order):
-        inv_order = np.empty(len(order), np.int64)
-        inv_order[order] = np.arange(len(order))
-        csg_progs = [
-            tuple(e if e[0] == "c" else
-                  ("g", tuple(tuple(int(inv_order[t]) for t in br)
-                              for br in e[1]))
-                  for e in prog)
-            for prog in csg_progs
-        ]
 
     type_ranges = []
     for t in range(6):
@@ -534,15 +566,44 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
                       if nr else np.zeros(0, bool), "use_tex")
     tri_mat = cat(np.asarray([r[10] for r in tables.t_rows], dtype=np.int64)
                   if nr else np.zeros(0, np.int64), "mat")
-    tri_csg = cat(np.asarray([r[11] for r in tables.t_rows], dtype=np.int64)
-                  if nr else np.zeros(0, np.int64), "csg")
-    tri_side = cat(np.asarray([r[12] for r in tables.t_rows],
-                              dtype=np.int64)
-                   if nr else np.zeros(0, np.int64), "side")
+    # per-triangle csg tags as Python int lists (blocks share one tag set)
+    tri_csg_l = [r[11] for r in tables.t_rows]
+    tri_side_l = [r[12] for r in tables.t_rows]
+    tri_anc_l = [r[13] for r in tables.t_rows]
+    block_base = [nr]                  # final row offset of each t_block
+    for b in tables.t_blocks:
+        bn = len(b["p1"])
+        block_base.append(block_base[-1] + bn)
+        tri_csg_l.extend([b["csg"]] * bn)
+        tri_side_l.extend([b["side"]] * bn)
+        tri_anc_l.extend([b["anc"]] * bn)
     tri_doc = cat(np.asarray(tables.t_doc, dtype=np.int64)
                   if nr else np.zeros(0, np.int64), "doc")
     nt = len(tri_p1)
     tri_rank = doc_rank[tri_doc] if nt else np.zeros(0, np.int64)
+
+    n_analytic = len(order)
+    # resolve csg-program leaf tags to final global prim ids: analytic
+    # rows went through the type sort; triangle rows sit after the
+    # analytic block (t_rows first, then each obj block)
+    if csg_progs:
+        inv_order = np.empty(len(order), np.int64)
+        inv_order[order] = np.arange(len(order))
+
+        def _resolve_tag(tag):
+            if tag[0] == "a":
+                return int(inv_order[tag[1]])
+            if tag[0] == "t":
+                return n_analytic + tag[1]
+            return n_analytic + block_base[tag[1]] + tag[2]   # ("b", bi, i)
+
+        csg_progs = [
+            tuple(e if e[0] == "c" else
+                  ("g", tuple(tuple(_resolve_tag(t) for t in br)
+                              for br in e[1]))
+                  for e in prog)
+            for prog in csg_progs
+        ]
 
     # ---- triangle clustering (large meshes) ----
     # Morton-order triangles by centroid and group into fixed-size clusters
@@ -551,7 +612,10 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     # reference gets the same effect from its per-ray BVH walk
     # (group_divide + bounding_box test, src/shapes/group.c:91-147).
     CLUSTER_SIZE = 64
-    use_clusters = nt >= 2048
+    # csg triangle leaves need dense candidate slots (the csg filter and
+    # containers walk run over the dense table), so meshes inside csg
+    # trees stay unclustered regardless of size
+    use_clusters = nt >= 2048 and all(c < 0 for c in tri_csg_l)
     if use_clusters:
         centroid = tri_p1 + (tri_e1 + tri_e2) / 3.0
         order_t = _morton_order(centroid)
@@ -561,8 +625,6 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
              tri_t1, tri_t2, tri_t3))
         tri_use_tex = tri_use_tex[order_t]
         tri_mat = tri_mat[order_t]
-        tri_csg = tri_csg[order_t]
-        tri_side = tri_side[order_t]
         tri_rank = tri_rank[order_t]
         pad = (-nt) % CLUSTER_SIZE
         if pad:
@@ -580,8 +642,6 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
             tri_t3 = np.concatenate([tri_t3, z2])
             tri_use_tex = np.concatenate([tri_use_tex, np.zeros(pad, bool)])
             tri_mat = np.concatenate([tri_mat, np.zeros(pad, np.int64)])
-            tri_csg = np.concatenate([tri_csg, -np.ones(pad, np.int64)])
-            tri_side = np.concatenate([tri_side, np.zeros(pad, np.int64)])
             tri_rank = np.concatenate(
                 [tri_rank, np.full(pad, 1 << 30, np.int64)])
         nt_padded = nt + pad
@@ -742,6 +802,12 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         max_perlin_octaves=max_octaves,
         csg_trees=tuple(csg_progs),
         has_csg=bool(tables.csg_trees),
+        csg_prim_leaf=tuple(a_csg_l) + tuple(tri_csg_l)
+        + (-1,) * (nt - len(tri_csg_l)),
+        csg_prim_anc=tuple(a_anc_l) + tuple(tri_anc_l)
+        + (0,) * (nt - len(tri_anc_l)),
+        csg_prim_side=tuple(a_side_l) + tuple(tri_side_l)
+        + (0,) * (nt - len(tri_side_l)),
     )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
@@ -749,14 +815,11 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     return SceneIR(
         meta=meta,
         inv_tf=f(inv), prim_params=f(params), material_id=i32(a_mat),
-        csg_leaf=i32(a_csg), csg_anc=i32(a_anc), csg_side=i32(a_side),
         prim_shadow_rank=i32(np.concatenate([a_rank, tri_rank])),
         tri_p1=f(tri_p1), tri_e1=f(tri_e1), tri_e2=f(tri_e2),
         tri_n1=f(tri_n1), tri_n2=f(tri_n2), tri_n3=f(tri_n3),
         tri_t1=f(tri_t1), tri_t2=f(tri_t2), tri_t3=f(tri_t3),
         tri_use_tex=jnp.asarray(tri_use_tex), tri_material_id=i32(tri_mat),
-        tri_csg_leaf=i32(tri_csg), tri_csg_anc=i32(np.zeros_like(tri_csg)),
-        tri_csg_side=i32(tri_side),
         cluster_min=f(cluster_min), cluster_max=f(cluster_max),
         mat_Ka=f(mat["Ka"]), mat_Kd=f(mat["Kd"]), mat_Ks=f(mat["Ks"]),
         mat_Tf=f(mat["Tf"]), mat_refl=f(mat["refl"]),

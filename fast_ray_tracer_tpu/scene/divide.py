@@ -140,6 +140,7 @@ class Node:
     obj_box: Optional[Box] = None   # object-space bbox for primitive leaves
     block_boxes: Optional[object] = None   # leafblock: (n, 6) float64
     block_ids: Optional[object] = None     # leafblock: (n,) int64
+    block_tags: Optional[object] = None    # leafblock: per-leaf csg tags
     _bbox: Optional[Box] = None
     _bbox_inverse: Optional[Box] = None
 
@@ -222,7 +223,10 @@ def expand_leafblocks(node: Node):
                 b.max = [float(x) for x in c.block_boxes[i, 3:]]
                 new_children.append(Node(
                     kind="triangle", transform=list(IDENTITY),
-                    leaf_id=int(c.block_ids[i]), obj_box=b))
+                    leaf_id=int(c.block_ids[i]),
+                    tag=(c.block_tags[i] if c.block_tags is not None
+                         else -1),
+                    obj_box=b))
         else:
             expand_leafblocks(c)
             new_children.append(c)

@@ -89,6 +89,13 @@ class SceneMeta:
     # notch's own hits before the group merge).
     csg_trees: Tuple[Tuple[Tuple[int, int, int], ...], ...] = ()
     has_csg: bool = False
+    # per-global-prim (analytic block order, then triangles) csg tags as
+    # PYTHON ints — arbitrary-precision masks, so trees of any node count
+    # work (the reference accepts any shape/size as a csg child,
+    # src/shapes/csg.c:166-206)
+    csg_prim_leaf: Tuple[int, ...] = ()
+    csg_prim_anc: Tuple[int, ...] = ()
+    csg_prim_side: Tuple[int, ...] = ()
 
 
 @jax.tree_util.register_pytree_node_class
@@ -100,9 +107,6 @@ class SceneIR:
     inv_tf: Any = None          # (Na,4,4) world->object
     prim_params: Any = None     # (Na,4): cyl/cone [min,max,closed,_], toroid [r1,r2,_,_]
     material_id: Any = None     # (Na,) i32
-    csg_leaf: Any = None        # (Na,) i32: csg tree id or -1
-    csg_anc: Any = None         # (Na,) i32 bitmask: bit n = node n is an ancestor
-    csg_side: Any = None        # (Na,) i32 bitmask: bit n = right subtree of node n
     prim_shadow_rank: Any = None  # (Na+Nt,) i32 post-divide DFS walk order
                                   # (shadow early-exit semantics, divide.py)
 
@@ -118,9 +122,6 @@ class SceneIR:
     tri_t3: Any = None
     tri_use_tex: Any = None     # (Nt,) bool
     tri_material_id: Any = None # (Nt,) i32
-    tri_csg_leaf: Any = None
-    tri_csg_anc: Any = None
-    tri_csg_side: Any = None
     # cluster AABBs (Nc,3) — acceleration structure, not trainable
     # (culling is discrete; parallel/train.py excludes these from params)
     cluster_min: Any = None

@@ -249,3 +249,54 @@ def test_bounding_boxes_reduced_bitwise():
         pytest.skip("bbox_tiny.yml not generated")
     ours = _render_ppm(yml, chunk_pixels=4500)
     assert ours == golden
+
+
+def test_csg_obj_bitwise():
+    """CSG over a triangle mesh: difference(obj teapot_low, sphere) — the
+    reference accepts any shape as a csg child (src/shapes/csg.c:166-206);
+    mesh leaves participate in the truth-table filter and the csg shadow
+    truncation like any other leaf."""
+    golden = _golden("csg_obj_test")
+    yml = GOLDEN / "csg_obj_test.yml"
+    if not yml.exists():
+        pytest.skip("csg_obj_test.yml not generated")
+    ours = _render_ppm(yml, chunk_pixels=10000)
+    assert ours == golden
+
+
+def test_csg_deep_tree_40_nodes():
+    """CSG trees with >31 internal nodes compile and render (masks are
+    Python ints resolved to static tables — no i32 bitmask cap). A chain
+    union of 40 spheres along x must render each sphere visible."""
+    from fast_ray_tracer_tpu.scene.model import (
+        ApertureDesc, CameraDesc, ConfigDesc, LightDesc, MaterialDesc,
+        SceneDesc, ShapeDesc,
+    )
+    from fast_ray_tracer_tpu.render.render import render_scene
+
+    mat = MaterialDesc(color=(0.8, 0.2, 0.2), specular=0.0)
+    spheres = [ShapeDesc(kind="sphere", material=mat,
+                         transform=([["translate", 2.5 * i, 0.0, 0.0]]
+                                    if i else []))
+               for i in range(41)]
+    cam = CameraDesc(width=64, height=8, field_of_view=1.2,
+                     frm=(50.0, 0.0, -90.0), to=(50.0, 0.0, 0.0),
+                     up=(0.0, 1.0, 0.0), aperture=ApertureDesc())
+    light = LightDesc(kind="point", at=(50.0, 40.0, -60.0))
+    node = spheres[0]
+    for i in range(1, 41):
+        node = ShapeDesc(kind="csg", op="union", left=node,
+                         right=spheres[i])
+    img_csg = render_scene(
+        SceneDesc(camera=cam, lights=[light], world=[node],
+                  config=ConfigDesc()), dtype=jnp.float64, chunk_pixels=512)
+    # the union of disjoint spheres must render exactly like the plain
+    # group of the same spheres (a filter bug on node ids > 31 would
+    # blank the late spheres in the chain)
+    img_group = render_scene(
+        SceneDesc(camera=cam, lights=[light], world=spheres,
+                  config=ConfigDesc()), dtype=jnp.float64, chunk_pixels=512)
+    assert np.isfinite(img_csg).all()
+    lit = np.unique(np.nonzero(img_csg.max(axis=-1) > 0.02)[1])
+    assert len(lit) >= 10, len(lit)
+    np.testing.assert_array_equal(img_csg, img_group)

@@ -82,6 +82,7 @@ declare -A SCENES=(
   [spec_map_test]=scenes/spec_map_test/spec_map_test.yml
   [bump_map_test]=scenes/bump_map_test/bump_map_test.yml
   [csg_test]=scenes_reduced/csg_test.yml
+  [csg_obj_test]=scenes_reduced/csg_obj_test.yml
   [glamour_small]=scenes_reduced/glamour_small.yml
   [bbox_tiny]=scenes_reduced/bbox_tiny.yml
   [cornell_small]=scenes_reduced/cornell_small.yml
@@ -100,7 +101,7 @@ if [ $# -gt 0 ]; then
 else
   names=(checkered_sphere checkered_cube checkered_cylinder checkered_torus
          align_check_plane group_test reflect_refract_test test
-         texture_map_test spec_map_test bump_map_test csg_test
+         texture_map_test spec_map_test bump_map_test csg_test csg_obj_test
          reflect_refract area_light_test teapot glamour_small bbox_tiny
          cornell_direct cornell_small lens_small skybox_small
          orrery_small mtl_test dof_small cover_small)

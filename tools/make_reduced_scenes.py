@@ -209,6 +209,10 @@ def main(out_dir):
     shutil.copy(os.path.join(here, "golden_scenes", "csg_test.yml"),
                 os.path.join(out_dir, "csg_test.yml"))
 
+    # csg_obj_test: CSG with an OBJ mesh child (hand-authored template —
+    # the obj path is absolutized to the reference checkout).
+    template("csg_obj_test.yml", {"{ROOT}": ASSETS_ROOT})
+
 
 if __name__ == "__main__":
     main(sys.argv[1])
