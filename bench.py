@@ -39,7 +39,8 @@ REF_PIXELS = 400 * 200
 RAYS_PER_PIXEL = 126        # 63 trace + 63 shadow (depth-5, 2 children, 1 light)
 
 
-def bench_glass_spheres(timer: PhaseTimer, profile_dir=None):
+def bench_glass_spheres(timer: PhaseTimer, profile_dir=None,
+                        chunk: int = 80000):
     """Headline: rays/s on the depth-5 glass scene, bucketed wavefront."""
     from fast_ray_tracer_tpu.render.camera import build_camera, rays_for_pixels
     from fast_ray_tracer_tpu.render.integrator import (
@@ -64,7 +65,6 @@ def bench_glass_spheres(timer: PhaseTimer, profile_dir=None):
     uv = jnp.broadcast_to(jnp.asarray(cmj_points_static(1, 1), dtype), (n, 2))
     ap = jnp.zeros((n, 2), dtype)
 
-    chunk = 80000
     n_chunks = n // chunk
     chunks = [(px[c * chunk:(c + 1) * chunk],
                py[c * chunk:(c + 1) * chunk],
@@ -107,8 +107,11 @@ def bench_glass_spheres(timer: PhaseTimer, profile_dir=None):
         f = render_chunk_fn(buckets)
         outs = [f(ir, *args) for args in chunks]
         jax.block_until_ready(outs)
-        return (jnp.concatenate([o[0] for o in outs]),
-                any(bool(o[1]) for o in outs))
+        # ONE host sync for all chunk overflow flags: per-chunk bool()
+        # costs a ~25ms device round-trip each through the TPU tunnel
+        # (measured: 97ms of 376ms wall per render)
+        ovf = bool(np.asarray(jnp.stack([o[1] for o in outs])).any())
+        return jnp.concatenate([o[0] for o in outs]), ovf
 
     with timer.phase("warmup_compile"):
         for margin in (1.12, 1.3, 1.6):
@@ -136,10 +139,12 @@ def main():
                     help="jax.profiler trace dir for the headline render")
     ap.add_argument("--skip-extras", action="store_true",
                     help="headline metric only")
+    ap.add_argument("--chunk", type=int, default=80000,
+                    help="pixels per device program")
     args = ap.parse_args()
 
     timer = PhaseTimer()
-    rays_per_s = bench_glass_spheres(timer, args.profile)
+    rays_per_s = bench_glass_spheres(timer, args.profile, args.chunk)
     ref_rays_per_s = REF_PIXELS * RAYS_PER_PIXEL / REF_WALL_S
 
     extras = {"phases": {p["phase"]: round(p["seconds"], 2)

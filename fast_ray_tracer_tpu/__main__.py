@@ -50,6 +50,9 @@ def main(argv=None) -> int:
                     help="suppress per-chunk progress")
     ap.add_argument("--ppm-only", action="store_true")
     ap.add_argument("--png-only", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="emit a per-phase JSON report to stdout and a "
+                    "jax.profiler trace (xprof/tensorboard) into DIR")
     args = ap.parse_args(argv)
 
     import os
@@ -91,17 +94,32 @@ def main(argv=None) -> int:
                  or scene.config.photon_count > 0)
     key = jax.random.PRNGKey(args.seed) if needs_rng else None
 
+    from fast_ray_tracer_tpu.utils import (
+        PhaseTimer, enable_compile_cache, rays_per_second, trace_context,
+    )
+    enable_compile_cache()
+    timer = PhaseTimer()
+
     out = args.output or scene.config.output_file
     t0 = time.time()
-    canvas = render_scene(scene, dtype=dtype, chunk_pixels=args.chunk,
-                          key=key, progress=not args.quiet,
-                          checkpoint_path=args.checkpoint)
+    with timer.phase("render", scene=args.scene), \
+            trace_context(args.profile):
+        canvas = render_scene(scene, dtype=dtype, chunk_pixels=args.chunk,
+                              key=key, progress=not args.quiet,
+                              checkpoint_path=args.checkpoint,
+                              timer=timer)
     wall = time.time() - t0
     W, H = scene.camera.width, scene.camera.height
     if not args.quiet:
+        cam = scene.camera
         print(f"rendered {W}x{H} in {wall:.2f}s "
-              f"({W * H / max(wall, 1e-9):,.0f} px/s) on "
-              f"{jax.default_backend()}")
+              f"({W * H / max(wall, 1e-9):,.0f} px/s, "
+              f"{rays_per_second(W * H, cam.usteps * cam.vsteps, 2, wall):,.0f} "
+              f"rays/s lower-bound) on {jax.default_backend()}")
+    if args.profile:
+        timer.report()
+        if not args.quiet:
+            print(f"profiler trace in {args.profile}")
     if not args.png_only:
         write_ppm(canvas, out)
         if not args.quiet:

@@ -418,7 +418,9 @@ def _cluster_tris(ir: SceneIR, c, C):
     return p1, e1, e2
 
 
-_BIG_RANK = jnp.int32(jnp.iinfo(jnp.int32).max)
+_BIG_RANK = np.int32(np.iinfo(np.int32).max)   # host scalar: a module-
+# level jnp constant would materialize on the import-time default device
+# (the TPU tunnel) and block lowering when that device is busy
 _MESH_RAY_BLOCK = 512
 _DEAD_ORIGIN = 1e30   # dead-lane sentinel: hits no cluster AABB
 

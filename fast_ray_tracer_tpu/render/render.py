@@ -56,7 +56,7 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                  progress: bool = False,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 8,
-                 mesh=None) -> np.ndarray:
+                 mesh=None, timer=None) -> np.ndarray:
     """Render a scene to an (H, W, 3) float canvas (linear, pre-encode).
 
     Deterministic configs (no jitter, point aperture) need no key and
@@ -79,10 +79,15 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     devices (parallel/distributed.py) — each host feeds its addressable
     shard of the chunk.
     """
-    ir = compile_scene(scene, dtype=dtype)
-    cam = scene.camera
-    cam_rt = build_camera(cam, dtype=dtype)
-    rt = build_statics(ir, scene.config)
+    if timer is None:
+        from fast_ray_tracer_tpu.utils import PhaseTimer
+        timer = PhaseTimer()           # unreported default; callers pass
+                                       # their own to surface the phases
+    with timer.phase("compile_scene"):
+        ir = compile_scene(scene, dtype=dtype)
+        cam = scene.camera
+        cam_rt = build_camera(cam, dtype=dtype)
+        rt = build_statics(ir, scene.config)
 
     # photon pass (generated main: trace_photons before rendering,
     # yaml_parser.py:201-216)
@@ -102,10 +107,11 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         # maps populated exactly as the generated main does
         # (yaml_parser.py:201-216): caustic iff include_caustics, global
         # iff include_final_gather
-        pmaps = photon.trace_photons(
-            ir, rt, pm_key, dtype,
-            caustic=cfg.include_caustics,
-            global_=cfg.include_final_gather)
+        with timer.phase("trace_photons", count=cfg.photon_count):
+            pmaps = photon.trace_photons(
+                ir, rt, pm_key, dtype,
+                caustic=cfg.include_caustics,
+                global_=cfg.include_final_gather)
         if shade_gi:
             cfg._gi_hook = photon.make_gi_hook(pmaps, cfg)
 
@@ -296,6 +302,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                 and snap["canvas"].shape == (total, 3):
             out = snap["canvas"]
             start_chunk = snap["chunks_done"]
+    chunk_phase = timer.phase("render_chunks", n=n_chunks - start_chunk)
+    chunk_phase.__enter__()
     for c in range(start_chunk, n_chunks):
         lo = c * chunk_pixels
         hi = min(lo + chunk_pixels, total)
@@ -315,4 +323,5 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             save_render_progress(checkpoint_path, out, c + 1, n_chunks, None)
         if progress:
             print(f"chunk {c + 1}/{n_chunks}", flush=True)
+    chunk_phase.__exit__(None, None, None)
     return out.reshape(H, W, 3)
