@@ -66,9 +66,154 @@ def fwd_bwd_ms(timer):
     return round(min(times) * 1000.0, 1)
 
 
+def cornell_gi(timer):
+    """Cornell box with photon-mapped GI at 800x800 (100k photons, 3x3
+    final gather, 10x10 jittered area light) on the TPU chip — the
+    flagship GI workload (SURVEY.md: cornell_box graded config). Baseline:
+    the reference binary renders the identical config at 120x120 in the
+    wall recorded by tools/make_goldens.sh (timings.txt cornell_small)."""
+    import os
+    import jax
+    from fast_ray_tracer_tpu import load_scene
+    from fast_ray_tracer_tpu.render.render import render_scene
+    from fast_ray_tracer_tpu.scene.model import replace
+
+    yml = ".baseline/golden/cornell_small.yml"
+    if not os.path.exists(yml):
+        return None
+    sc = load_scene(yml)
+    W = H = 800
+    sc.camera = replace(sc.camera, width=W, height=H)
+    t0 = time.perf_counter()
+    with timer.phase("cornell_gi_total"):
+        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=20000,
+                              key=jax.random.PRNGKey(7), timer=timer)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(canvas).all()
+    photon_s = next((p["seconds"] for p in timer.phases
+                     if p["phase"] == "trace_photons"), 0.0)
+    # reference wall for the same scene at 120x120 (photons + render),
+    # re-measured on this machine by make_goldens.sh
+    ref_s = _ref_timing("cornell_small", default=3.0)
+    ref_px_s = 120 * 120 / ref_s
+    px_s = W * H / wall
+    # rays/pixel lower bound: 1 primary + 100 area-light shadow rays + 9
+    # gather rays per level-0 shading point (spawned specular levels and
+    # their shadow/gather rays excluded)
+    return {
+        "cornell_gi_800x800_wall_s": round(wall, 2),
+        "cornell_gi_photon_pass_s": round(photon_s, 2),
+        "cornell_gi_px_per_s": round(px_s, 1),
+        "cornell_gi_rays_per_s_lb": round(px_s * 110, 1),
+        "cornell_gi_vs_ref_px_per_s": round(px_s / ref_px_s, 2),
+    }
+
+
+def mesh_bbox(timer):
+    """bounding_boxes (141k triangles, clustered streaming) at 600x240 on
+    the TPU chip. Baseline: the reference at 150x60 (timings.txt
+    bbox_tiny, same machine)."""
+    import os
+    from fast_ray_tracer_tpu import load_scene
+    from fast_ray_tracer_tpu.render.render import render_scene
+    from fast_ray_tracer_tpu.scene.model import replace
+
+    yml = ".baseline/golden/bbox_tiny.yml"
+    if not os.path.exists(yml):
+        return None
+    sc = load_scene(yml)
+    W, H = 600, 240
+    sc.camera = replace(sc.camera, width=W, height=H)
+    t0 = time.perf_counter()
+    with timer.phase("mesh_bbox_total"):
+        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=4096,
+                              timer=timer)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(canvas).all()
+    ref_s = _ref_timing("bbox_tiny", default=23.0)
+    ref_px_s = 150 * 60 / ref_s
+    px_s = W * H / wall
+    # 1 primary + 4 point-light shadow rays per pixel
+    return {
+        "mesh_141k_tri_600x240_wall_s": round(wall, 2),
+        "mesh_141k_tri_px_per_s": round(px_s, 1),
+        "mesh_141k_tri_rays_per_s": round(px_s * 5, 1),
+        "mesh_141k_tri_vs_ref_px_per_s": round(px_s / ref_px_s, 2),
+    }
+
+
+def scaling_cpu_mesh(timer):
+    """Scaling efficiency of the sharded render path on the 8-virtual-
+    device CPU mesh (this host has 2 physical cores, so virtual-device
+    scaling is core-bound — the table demonstrates the mechanism; the
+    >=80% target applies to real multi-chip ICI, pending hardware)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    code = r"""
+import os, time, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from fast_ray_tracer_tpu.parallel.mesh import make_mesh
+from fast_ray_tracer_tpu.render.render import render_scene
+from fast_ray_tracer_tpu.scene.demo import glass_spheres
+scene = glass_spheres(256, 128)
+out = {}
+for nd in (1, 2, 4, 8):
+    mesh = make_mesh(nd)
+    render_scene(scene, dtype=jnp.float32, chunk_pixels=32768, mesh=mesh)
+    t0 = time.perf_counter()
+    render_scene(scene, dtype=jnp.float32, chunk_pixels=32768, mesh=mesh)
+    out[nd] = time.perf_counter() - t0
+print(json.dumps(out))
+"""
+    with timer.phase("scaling_cpu_mesh"):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=1800)
+    line = r.stdout.strip().splitlines()[-1]
+    walls = {int(k): v for k, v in _json.loads(line).items()}
+    eff = {nd: walls[1] / (walls[nd] * nd) for nd in walls}
+    return {
+        "scaling_cpu8_wall_s": {str(k): round(v, 3)
+                                for k, v in walls.items()},
+        "scaling_cpu8_efficiency": {str(k): round(v, 3)
+                                    for k, v in eff.items()},
+        "scaling_note": "2 physical cores under 8 virtual devices: "
+                        "core-bound; >=80% applies to real ICI chips",
+    }
+
+
+def _ref_timing(name, default):
+    try:
+        for ln in open(".baseline/golden/timings.txt"):
+            parts = ln.split()
+            if len(parts) == 2 and parts[0] == name:
+                return max(float(parts[1].rstrip("s")), 0.5)
+    except OSError:
+        pass
+    return default
+
+
 def run(timer):
     out = {}
-    v = _guard(lambda: fwd_bwd_ms(timer))
-    if v is not None:
-        out["fwd_bwd_ms_800x400_d5"] = v
+    for key, fn in (
+        ("fwd_bwd_ms_800x400_d5", lambda: fwd_bwd_ms(timer)),
+        ("_cornell", lambda: cornell_gi(timer)),
+        ("_mesh", lambda: mesh_bbox(timer)),
+        ("_scaling", lambda: scaling_cpu_mesh(timer)),
+    ):
+        v = _guard(fn)
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            out.update(v)
+        else:
+            out[key] = v
     return out

@@ -34,6 +34,16 @@ def _mgr(directory: str, max_to_keep: int = 3):
     )
 
 
+def _flatten_nonempty(item):
+    """Flatten a pytree to an orbax-friendly flat dict, skipping
+    zero-size leaves (orbax refuses them; they carry no data and are
+    reconstructed from the example structure on restore)."""
+    leaves, treedef = jax.tree_util.tree_flatten(item)
+    payload = {f"l{i}": x for i, x in enumerate(leaves)
+               if int(np.size(x)) > 0}
+    return payload, leaves, treedef
+
+
 def save_train_state(directory: str, step: int, state: TrainState,
                      key=None, wait: bool = False) -> None:
     """Checkpoint a TrainState (+ optional PRNG key) at `step`."""
@@ -42,7 +52,8 @@ def save_train_state(directory: str, step: int, state: TrainState,
     item = {"params": state.params, "opt_state": state.opt_state}
     if key is not None:
         item["key"] = jax.random.key_data(key)
-    mgr.save(step, args=ocp.args.StandardSave(item))
+    payload, _, _ = _flatten_nonempty(item)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
     if wait:
         mgr.wait_until_finished()
     mgr.close()
@@ -51,7 +62,8 @@ def save_train_state(directory: str, step: int, state: TrainState,
 def restore_train_state(directory: str, example: TrainState,
                         key=None) -> Optional[Tuple[int, TrainState, Any]]:
     """Restore the latest checkpoint, or None if the directory is empty.
-    `example` supplies the pytree structure/dtypes."""
+    `example` supplies the pytree structure/dtypes (zero-size leaves come
+    straight from it)."""
     import orbax.checkpoint as ocp
     if not os.path.isdir(directory):
         return None
@@ -60,15 +72,18 @@ def restore_train_state(directory: str, example: TrainState,
     if step is None:
         mgr.close()
         return None
-    tmpl = {"params": example.params, "opt_state": example.opt_state}
+    item = {"params": example.params, "opt_state": example.opt_state}
     if key is not None:
-        tmpl["key"] = jax.random.key_data(key)
+        item["key"] = jax.random.key_data(key)
+    tmpl, leaves, treedef = _flatten_nonempty(item)
     restored = mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
     mgr.close()
+    new_leaves = [restored.get(f"l{i}", x) for i, x in enumerate(leaves)]
+    item = jax.tree_util.tree_unflatten(treedef, new_leaves)
     out_key = None
-    if "key" in restored:
-        out_key = jax.random.wrap_key_data(restored["key"])
-    return step, TrainState(restored["params"], restored["opt_state"]), out_key
+    if "key" in item:
+        out_key = jax.random.wrap_key_data(item["key"])
+    return step, TrainState(item["params"], item["opt_state"]), out_key
 
 
 def save_render_progress(path: str, canvas: np.ndarray,
