@@ -411,13 +411,6 @@ def cluster_mask(ir: SceneIR, orig, dirs):
     return (tmin <= tmax) & (tmax > 0.0)
 
 
-def _cluster_tris(ir: SceneIR, c, C):
-    p1 = jax.lax.dynamic_slice(ir.tri_p1, (c * C, 0), (C, 3))
-    e1 = jax.lax.dynamic_slice(ir.tri_e1, (c * C, 0), (C, 3))
-    e2 = jax.lax.dynamic_slice(ir.tri_e2, (c * C, 0), (C, 3))
-    return p1, e1, e2
-
-
 _BIG_RANK = np.int32(np.iinfo(np.int32).max)   # host scalar: a module-
 # level jnp constant would materialize on the import-time default device
 # (the TPU tunnel) and block lowering when that device is busy
@@ -434,16 +427,31 @@ def neutralize_rays(orig, dirs, active):
             jnp.where(a, dirs, jnp.ones((), dirs.dtype)))
 
 
-def _mesh_blocked_reduce(ir: SceneIR, orig, dirs, init_fn, test_fn):
-    """Run a per-cluster reduction over ray blocks.
+_GATHER_CLUSTERS = 192   # per-block live-cluster budget (top-K gather)
 
-    Rays are processed in blocks of _MESH_RAY_BLOCK; for each block the
-    cluster scan skips any cluster whose AABB no ray in the block touches
-    (lax.cond on a scalar — only the slab test runs). Image tiles and their
-    child bounces are spatially coherent, so most (block, cluster) pairs
-    skip — the lockstep analog of the reference's per-ray BVH descent."""
+
+def _mesh_gather_reduce(ir: SceneIR, orig, dirs, reduce_fn):
+    """TPU-native clustered-mesh reduction: per ray block, COMPACT the
+    clusters whose AABB any ray touches into a fixed budget of K slots
+    (device-side nonzero), gather those clusters' triangles, and run ONE
+    dense (block x K*C) Möller-Trumbore + reduction. Blocks whose live-
+    cluster count exceeds K fall back to testing every cluster densely
+    for that block (still vectorized; correctness never depends on the
+    budget — only speed).
+
+    This replaces a per-(block, cluster) lax.cond-inside-scan walk: on
+    TPU that serializes n_clusters tiny steps per block, while the
+    gather version is a handful of large fused ops. Spatially coherent
+    blocks (image tiles, bounce children) touch only a few clusters, the
+    lockstep analog of the reference's per-ray BVH descent
+    (src/shapes/group.c:91-147).
+
+    reduce_fn(tri_idx (T,), tpos (B,T) positive-hit ts with +inf misses)
+    -> pytree of (B, ...) results."""
     meta = ir.meta
     C = meta.cluster_size
+    Nc = meta.n_clusters
+    K = min(_GATHER_CLUSTERS, Nc)
     R = orig.shape[0]
     B = min(_MESH_RAY_BLOCK, R)
     pad = (-R) % B
@@ -457,22 +465,29 @@ def _mesh_blocked_reduce(ir: SceneIR, orig, dirs, init_fn, test_fn):
 
     def block(carry_blk):
         o, d = carry_blk
-        mask = cluster_mask(ir, o, d)                 # (B, Nc)
+        mask = jnp.any(cluster_mask(ir, o, d), axis=0)        # (Nc,)
+        n_live = jnp.sum(mask)
+        (cidx,) = jnp.nonzero(mask, size=K, fill_value=0)
+        live = jnp.arange(K) < n_live
 
-        def body(carry, c):
-            def test(carry):
-                p1, e1, e2 = _cluster_tris(ir, c, C)
-                t, _, _ = _triangle_t(o, d, p1, e1, e2)   # (B,C)
-                tpos = jnp.where(t > 0.0, t, jnp.inf)
-                return test_fn(carry, c, tpos)
+        def run(tri_idx, valid_tri):
+            p1 = ir.tri_p1[tri_idx]
+            e1 = ir.tri_e1[tri_idx]
+            e2 = ir.tri_e2[tri_idx]
+            t, _, _ = _triangle_t(o, d, p1, e1, e2)           # (B,T)
+            tpos = jnp.where((t > 0.0) & valid_tri[None], t, jnp.inf)
+            return reduce_fn(tri_idx, tpos)
 
-            carry = jax.lax.cond(jnp.any(mask[:, c]), test,
-                                 lambda x: x, carry)
-            return carry, None
-
-        carry, _ = jax.lax.scan(body, init_fn(B, orig.dtype),
-                                jnp.arange(meta.n_clusters))
-        return carry
+        tri_g = (cidx[:, None] * C
+                 + jnp.arange(C)[None]).reshape(-1)           # (K*C,)
+        valid_g = jnp.broadcast_to(live[:, None], (K, C)).reshape(-1)
+        gathered = run(tri_g, valid_g)
+        if Nc <= K:
+            return gathered
+        return jax.lax.cond(
+            n_live > K,
+            lambda: run(jnp.arange(Nc * C), jnp.ones((Nc * C,), bool)),
+            lambda: gathered)
 
     out = jax.lax.map(block, (orig_b, dirs_b))
     return jax.tree_util.tree_map(
@@ -482,44 +497,28 @@ def _mesh_blocked_reduce(ir: SceneIR, orig, dirs, init_fn, test_fn):
 def mesh_closest(ir: SceneIR, orig, dirs):
     """Nearest positive triangle hit over the clustered mesh:
     (t (R,), tri_index (R,)); misses are t=inf."""
-    C = ir.meta.cluster_size
-
-    def init(B, dtype):
-        return (jnp.full((B,), jnp.inf, dtype), jnp.zeros((B,), jnp.int32))
-
-    def test(carry, c, tpos):
-        best_t, best_i = carry
+    def reduce(tri_idx, tpos):
         tmin = jnp.min(tpos, axis=-1)
-        idx = (jnp.argmin(tpos, axis=-1) + c * C).astype(jnp.int32)
-        upd = tmin < best_t
-        return (jnp.where(upd, tmin, best_t), jnp.where(upd, idx, best_i))
+        idx = tri_idx[jnp.argmin(tpos, axis=-1)].astype(jnp.int32)
+        return tmin, jnp.where(jnp.isfinite(tmin), idx, 0)
 
-    return _mesh_blocked_reduce(ir, orig, dirs, init, test)
+    return _mesh_gather_reduce(ir, orig, dirs, reduce)
 
 
 def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
     """Early-exit shadow components over the clustered mesh: per ray the
-    minimum shadow-walk rank among triangles with a positive hit, that
-    triangle's t, and its casts_shadow flag (see shadow_hit_early_exit)."""
-    C = ir.meta.cluster_size
-
-    def init(B, dtype):
-        return (jnp.full((B,), _BIG_RANK), jnp.full((B,), jnp.inf, dtype))
-
-    def test(carry, c, tpos):
-        best_rank, best_t = carry
+    minimum shadow-walk rank among triangles with a positive hit and the
+    nearest positive casts-shadow t within that rank's leaf (see
+    shadow_hit_early_exit)."""
+    def reduce(tri_idx, tpos):
         pos = jnp.isfinite(tpos)
-        rk_c = jax.lax.dynamic_slice(tri_rank, (c * C,), (C,))
-        sh_c = jax.lax.dynamic_slice(tri_shadow, (c * C,), (C,))
-        rk = jnp.where(pos, rk_c[None], _BIG_RANK)
+        rk = jnp.where(pos, tri_rank[tri_idx][None], _BIG_RANK)  # (B,T)
         rmin = jnp.min(rk, axis=-1)
-        sel = pos & (rk == rmin[:, None]) & sh_c[None]
+        sel = pos & (rk == rmin[:, None]) & tri_shadow[tri_idx][None]
         tsel = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
-        upd = rmin < best_rank
-        return (jnp.where(upd, rmin, best_rank),
-                jnp.where(upd, tsel, best_t))
+        return rmin, tsel
 
-    return _mesh_blocked_reduce(ir, orig, dirs, init, test)
+    return _mesh_gather_reduce(ir, orig, dirs, reduce)
 
 
 class Hit(NamedTuple):
