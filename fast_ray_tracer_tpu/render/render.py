@@ -205,23 +205,50 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             rk = None if ck is None else jax.random.fold_in(ck, 1)
             return o, d, rk
 
+        multi = jax.process_count() > 1
+
+        def put_batch(*arrays):
+            """Global 'batch'-sharded inputs. Multi-process: every host
+            holds the same full array and contributes only the shards it
+            addresses (jax.make_array_from_callback)."""
+            if not multi:
+                return arrays
+            from jax.sharding import NamedSharding
+            sh = NamedSharding(mesh, P("batch"))
+            return tuple(
+                jax.make_array_from_callback(a.shape, sh,
+                                             lambda idx, _a=a: _a[idx])
+                for a in arrays)
+
+        def fetch(global_arr):
+            """Full canvas on every host (one all-gather per chunk)."""
+            if not multi:
+                return np.asarray(global_arr)
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(global_arr,
+                                                  tiled=True))
+
         if use_bucketed and "probe" not in sharded_fns:
             def probe_body(ir_b, px_b, py_b, ck):
                 o, d, rk = local_rays(px_b, py_b, ck)
                 c = spawn_counts(ir_b, rt, o, d, path_length, rk)
-                return jnp.stack(c)[None] if c else jnp.zeros((1, 0),
-                                                              jnp.int32)
+                c = jnp.stack(c) if c else jnp.zeros((0,), jnp.int32)
+                # replicated max over devices -> every host reads the
+                # same bucket sizes without touching remote shards
+                return jax.lax.pmax(c, "batch")
             sharded_fns["probe"] = jax.jit(shard_map(
                 probe_body, mesh=mesh,
                 in_specs=(ir_spec, P("batch"), P("batch"), P()),
-                out_specs=P("batch")))
+                out_specs=P()))
 
+        px_g, py_g = put_batch(px, py)
         if use_bucketed:
             counts = np.asarray(
-                sharded_fns["probe"](ir_in, px, py, chunk_key))
+                sharded_fns["probe"](ir_in, px_g, py_g, chunk_key))
             buckets = tuple(
                 max(256, int(math.ceil(c * 1.15 / 1024)) * 1024)
-                for c in counts.max(axis=0))
+                for c in counts)
         else:
             buckets = ()
 
@@ -234,14 +261,16 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                 else:
                     tr = color_at(ir_b, rt, o, d, path_length, rk)
                     ovf = jnp.bool_(False)
-                return _avg(tr), ovf[None]
+                return _avg(tr), jax.lax.pmax(ovf.astype(jnp.int32),
+                                              "batch")
             sharded_fns[buckets] = jax.jit(shard_map(
                 render_body, mesh=mesh,
                 in_specs=(ir_spec, P("batch"), P("batch"), P()),
-                out_specs=(P("batch"), P("batch"))))
-        res, ovf = sharded_fns[buckets](ir_in, px, py, chunk_key)
-        if use_bucketed and bool(jnp.any(ovf)):
-            # widen-margin retry: exact unrolled fallback under shard_map
+                out_specs=(P("batch"), P())))
+        res, ovf = sharded_fns[buckets](ir_in, px_g, py_g, chunk_key)
+        if use_bucketed and bool(np.asarray(ovf)):
+            print(f"bucket overflow (buckets={buckets}): sharded chunk "
+                  "re-rendered on the exact unrolled path", flush=True)
             if "exact" not in sharded_fns:
                 def exact_body(ir_b, px_b, py_b, ck):
                     o, d, rk = local_rays(px_b, py_b, ck)
@@ -250,8 +279,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                     exact_body, mesh=mesh,
                     in_specs=(ir_spec, P("batch"), P("batch"), P()),
                     out_specs=P("batch")))
-            res = sharded_fns["exact"](ir_in, px, py, chunk_key)
-        return res
+            res = sharded_fns["exact"](ir_in, px_g, py_g, chunk_key)
+        return fetch(res)
 
     bucketed_fns = {}
 
@@ -281,6 +310,10 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             bucketed_fns[buckets] = jax.jit(f)
         triple, ovf = bucketed_fns[buckets](ir_in, orig, dirs, ray_key)
         if bool(ovf):
+            # never silent: overflow means the probe's margin was too
+            # tight for this chunk — the exact path re-renders it
+            print(f"bucket overflow (buckets={buckets}): chunk re-rendered "
+                  "on the exact unrolled path", flush=True)
             triple = color_at(ir_in, rt, orig, dirs, path_length, ray_key)
         return avg_jit(triple)
 

@@ -117,3 +117,64 @@ def test_render_scene_sharded_matches_single_device():
     out = render_scene(scene, dtype=jnp.float64, chunk_pixels=128,
                        mesh=mesh)
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed_render(tmp_path):
+    """TRUE multi-host path: 2 jax.distributed processes (gloo), 4 virtual
+    CPU devices each, one global 8-device mesh. Each process feeds only
+    its addressable pixel shards (jax.make_array_from_callback) and
+    gathers the canvas; both hosts' canvases must agree and match the
+    single-process render to FP-reassociation noise."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = tmp_path / "dist_render.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        fl = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            fl + " --xla_force_host_platform_device_count=4").strip()
+        pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+        sys.path.insert(0, {str(pathlib_root)!r})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        from fast_ray_tracer_tpu.parallel import distributed as dist
+        dist.init(coordinator_address="localhost:12357",
+                  num_processes=nproc, process_id=pid)
+        import jax.numpy as jnp
+        import numpy as np
+        from fast_ray_tracer_tpu.render.render import render_scene
+        from fast_ray_tracer_tpu.scene.demo import glass_spheres
+        mesh = dist.global_mesh()
+        canvas = render_scene(glass_spheres(64, 32), dtype=jnp.float64,
+                              chunk_pixels=256, mesh=mesh)
+        np.save({str(tmp_path)!r} + f"/canvas_{{pid}}.npy", canvas)
+        dist.shutdown()
+    """))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), "2"],
+                              env=env) for i in range(2)]
+    for p in procs:
+        assert p.wait(timeout=480) == 0
+    c0 = np.load(tmp_path / "canvas_0.npy")
+    c1 = np.load(tmp_path / "canvas_1.npy")
+    ref = np.asarray(render_scene_single())
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_allclose(c0, ref, rtol=0, atol=1e-12)
+
+
+def render_scene_single():
+    from fast_ray_tracer_tpu.render.render import render_scene
+    return render_scene(glass_spheres(64, 32), dtype=jnp.float64,
+                        chunk_pixels=256)
+
+
+import os  # noqa: E402
+import pathlib  # noqa: E402
+pathlib_root = str(pathlib.Path(__file__).resolve().parent.parent)
