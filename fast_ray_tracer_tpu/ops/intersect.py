@@ -427,33 +427,35 @@ def neutralize_rays(orig, dirs, active):
             jnp.where(a, dirs, jnp.ones((), dirs.dtype)))
 
 
-_GATHER_CLUSTERS = 192   # per-block live-cluster budget (top-K gather)
+_GATHER_CLUSTERS = 128   # clusters gathered per merge round
+_MESH_BLOCK_RAYS = 128    # rays per block (tighter frusta -> fewer live
+                          # clusters per block than wide 512-ray blocks)
 
 
-def _mesh_gather_reduce(ir: SceneIR, orig, dirs, reduce_fn):
-    """TPU-native clustered-mesh reduction: per ray block, COMPACT the
-    clusters whose AABB any ray touches into a fixed budget of K slots
-    (device-side nonzero), gather those clusters' triangles, and run ONE
-    dense (block x K*C) Möller-Trumbore + reduction. Blocks whose live-
-    cluster count exceeds K fall back to testing every cluster densely
-    for that block (still vectorized; correctness never depends on the
-    budget — only speed).
+def _mesh_gather_reduce(ir: SceneIR, orig, dirs, init_fn, chunk_fn,
+                        merge_fn):
+    """TPU-native clustered-mesh reduction, exact for ANY cluster count.
 
-    This replaces a per-(block, cluster) lax.cond-inside-scan walk: on
-    TPU that serializes n_clusters tiny steps per block, while the
-    gather version is a handful of large fused ops. Spatially coherent
-    blocks (image tiles, bounce children) touch only a few clusters, the
-    lockstep analog of the reference's per-ray BVH descent
-    (src/shapes/group.c:91-147).
+    Per ray block (vmapped — no serialized lax.map): compact the live
+    clusters (AABB touched by any ray in the block) with ONE nonzero,
+    then a lax.while_loop folds them in rounds of K clusters — each
+    round gathers K*C triangles and runs one dense (B x K*C)
+    Möller-Trumbore, merged into a running monoid state. Coherent blocks
+    need 1 round; incoherent ones just run more rounds (a vmapped
+    while_loop runs until every block is done), so correctness never
+    depends on a budget and there is NO dense fallback branch (a
+    lax.cond under vmap becomes a select that would execute the dense
+    side always). The lockstep analog of the reference's per-ray BVH
+    descent (src/shapes/group.c:91-147).
 
-    reduce_fn(tri_idx (T,), tpos (B,T) positive-hit ts with +inf misses)
-    -> pytree of (B, ...) results."""
+    init_fn(B, dtype) -> state; chunk_fn(tri_idx (T,), tpos (B,T)) ->
+    state; merge_fn(a, b) -> state (associative)."""
     meta = ir.meta
     C = meta.cluster_size
     Nc = meta.n_clusters
     K = min(_GATHER_CLUSTERS, Nc)
     R = orig.shape[0]
-    B = min(_MESH_RAY_BLOCK, R)
+    B = min(_MESH_BLOCK_RAYS, R)
     pad = (-R) % B
     if pad:
         orig = jnp.concatenate(
@@ -462,34 +464,41 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, reduce_fn):
     nblk = orig.shape[0] // B
     orig_b = orig.reshape(nblk, B, 3)
     dirs_b = dirs.reshape(nblk, B, 3)
+    arangeC = jnp.arange(C)
+    n_rounds_max = -(-Nc // K)
 
-    def block(carry_blk):
-        o, d = carry_blk
+    def block(o, d):
         mask = jnp.any(cluster_mask(ir, o, d), axis=0)        # (Nc,)
-        n_live = jnp.sum(mask)
-        (cidx,) = jnp.nonzero(mask, size=K, fill_value=0)
-        live = jnp.arange(K) < n_live
+        n_live = jnp.sum(mask, dtype=jnp.int32)
+        (cidx,) = jnp.nonzero(mask, size=Nc, fill_value=-1)
+        pad_k = (-Nc) % K
+        if pad_k:
+            cidx = jnp.concatenate(
+                [cidx, jnp.full((pad_k,), -1, cidx.dtype)])
+        rounds = -(-n_live // K)
 
-        def run(tri_idx, valid_tri):
+        def cond(st):
+            return st[0] < rounds
+
+        def body(st):
+            r, acc = st
+            ids = jax.lax.dynamic_slice(cidx, (r * K,), (K,))   # (K,)
+            live = ids >= 0
+            safe = jnp.maximum(ids, 0)
+            tri_idx = (safe[:, None] * C + arangeC[None]).reshape(-1)
             p1 = ir.tri_p1[tri_idx]
             e1 = ir.tri_e1[tri_idx]
             e2 = ir.tri_e2[tri_idx]
-            t, _, _ = _triangle_t(o, d, p1, e1, e2)           # (B,T)
-            tpos = jnp.where((t > 0.0) & valid_tri[None], t, jnp.inf)
-            return reduce_fn(tri_idx, tpos)
+            t, _, _ = _triangle_t(o, d, p1, e1, e2)             # (B,K*C)
+            valid = jnp.broadcast_to(live[:, None], (K, C)).reshape(-1)
+            tpos = jnp.where((t > 0.0) & valid[None], t, jnp.inf)
+            return r + 1, merge_fn(acc, chunk_fn(tri_idx, tpos))
 
-        tri_g = (cidx[:, None] * C
-                 + jnp.arange(C)[None]).reshape(-1)           # (K*C,)
-        valid_g = jnp.broadcast_to(live[:, None], (K, C)).reshape(-1)
-        gathered = run(tri_g, valid_g)
-        if Nc <= K:
-            return gathered
-        return jax.lax.cond(
-            n_live > K,
-            lambda: run(jnp.arange(Nc * C), jnp.ones((Nc * C,), bool)),
-            lambda: gathered)
+        _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init_fn(B, o.dtype)))
+        return acc
 
-    out = jax.lax.map(block, (orig_b, dirs_b))
+    out = jax.vmap(block)(orig_b, dirs_b)
     return jax.tree_util.tree_map(
         lambda a: a.reshape(nblk * B, *a.shape[2:])[:R], out)
 
@@ -497,20 +506,32 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, reduce_fn):
 def mesh_closest(ir: SceneIR, orig, dirs):
     """Nearest positive triangle hit over the clustered mesh:
     (t (R,), tri_index (R,)); misses are t=inf."""
-    def reduce(tri_idx, tpos):
+    def init(B, dtype):
+        return (jnp.full((B,), jnp.inf, dtype),
+                jnp.zeros((B,), jnp.int32))
+
+    def chunk(tri_idx, tpos):
         tmin = jnp.min(tpos, axis=-1)
         idx = tri_idx[jnp.argmin(tpos, axis=-1)].astype(jnp.int32)
         return tmin, jnp.where(jnp.isfinite(tmin), idx, 0)
 
-    return _mesh_gather_reduce(ir, orig, dirs, reduce)
+    def merge(a, b):
+        upd = b[0] < a[0]
+        return jnp.where(upd, b[0], a[0]), jnp.where(upd, b[1], a[1])
+
+    return _mesh_gather_reduce(ir, orig, dirs, init, chunk, merge)
 
 
 def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
     """Early-exit shadow components over the clustered mesh: per ray the
     minimum shadow-walk rank among triangles with a positive hit and the
     nearest positive casts-shadow t within that rank's leaf (see
-    shadow_hit_early_exit)."""
-    def reduce(tri_idx, tpos):
+    shadow_hit_early_exit). Partial (rank, t) states merge
+    rank-lexicographically (equal ranks take the nearer t)."""
+    def init(B, dtype):
+        return (jnp.full((B,), _BIG_RANK), jnp.full((B,), jnp.inf, dtype))
+
+    def chunk(tri_idx, tpos):
         pos = jnp.isfinite(tpos)
         rk = jnp.where(pos, tri_rank[tri_idx][None], _BIG_RANK)  # (B,T)
         rmin = jnp.min(rk, axis=-1)
@@ -518,7 +539,15 @@ def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
         tsel = jnp.min(jnp.where(sel, tpos, jnp.inf), axis=-1)
         return rmin, tsel
 
-    return _mesh_gather_reduce(ir, orig, dirs, reduce)
+    def merge(a, b):
+        ra, ta = a
+        rb, tb = b
+        r = jnp.minimum(ra, rb)
+        t = jnp.where(ra < rb, ta,
+                      jnp.where(rb < ra, tb, jnp.minimum(ta, tb)))
+        return r, t
+
+    return _mesh_gather_reduce(ir, orig, dirs, init, chunk, merge)
 
 
 class Hit(NamedTuple):

@@ -354,8 +354,16 @@ def irradiance_estimate(pm: PhotonMap, points, eyev, num: int,
     cell = jnp.floor((points - org) / pm.cell_size).astype(jnp.int32)
     cell = jnp.clip(cell, 0, jnp.asarray(dims, jnp.int32) - 1)
 
-    cand_d2 = []
-    cand_idx = []
+    # streaming 27-cell top-k MERGE: a running (R, k) best set folds in
+    # one neighbor cell at a time — peak memory O(R*(k+cap)) instead of
+    # materializing all (R, 27*cap) candidates at once (which OOMed the
+    # 800x800 Cornell GI program at ~0.4GB per live tensor); the merged
+    # result is exactly the global top-k
+    k = min(num, 27 * pm.cap)
+    md2 = jnp.asarray(max_dist * max_dist, dtype)
+    best_d2 = jnp.full((R, k), jnp.inf, dtype)
+    best_idx = jnp.zeros((R, k), jnp.int32)
+    n_in_range = jnp.zeros((R,), jnp.int32)
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
@@ -368,29 +376,27 @@ def irradiance_estimate(pm: PhotonMap, points, eyev, num: int,
                 e = pm.cell_start[cidx + 1]
                 idx = s[:, None] + jnp.arange(pm.cap)[None]      # (R,cap)
                 ok = (idx < e[:, None]) & inb[:, None]
-                idx = jnp.clip(idx, 0, pm.n - 1)
+                idx = jnp.clip(idx, 0, pm.n - 1).astype(jnp.int32)
                 p = pm.pos[idx]                                   # (R,cap,3)
                 d2 = jnp.sum((p - points[:, None]) ** 2, -1)
-                cand_d2.append(jnp.where(ok, d2, jnp.inf))
-                cand_idx.append(idx)
-    d2 = jnp.concatenate(cand_d2, axis=-1)          # (R, 27*cap)
-    idx = jnp.concatenate(cand_idx, axis=-1)
-
-    in_range = d2 < max_dist * max_dist
-    k = min(num, d2.shape[-1])
-    top_negd2, top_i = jax.lax.top_k(-jnp.where(in_range, d2, jnp.inf), k)
-    top_d2 = -top_negd2                              # ascending distances
+                d2 = jnp.where(ok & (d2 < md2), d2, jnp.inf)
+                n_in_range = n_in_range + jnp.sum(
+                    jnp.isfinite(d2), axis=-1, dtype=jnp.int32)
+                cat_d2 = jnp.concatenate([best_d2, d2], axis=-1)
+                cat_idx = jnp.concatenate([best_idx, idx], axis=-1)
+                neg, top_i = jax.lax.top_k(-cat_d2, k)
+                best_d2 = -neg
+                best_idx = jnp.take_along_axis(cat_idx, top_i, axis=-1)
+    top_d2 = best_d2                                 # ascending distances
     top_valid = jnp.isfinite(top_d2)
     # the reference's `found` is the heap population: capped at `num`
     # (pm.c:198-207) — the 10*num/found amplification never drops below 10
-    found = jnp.minimum(jnp.sum(in_range, axis=-1), num)
+    found = jnp.minimum(n_in_range, num)
     # r^2: kth-nearest distance^2 once the heap is full, else max_dist^2
-    r2 = jnp.where(found >= num, top_d2[:, -1],
-                   jnp.asarray(max_dist * max_dist, dtype))
+    r2 = jnp.where(found >= num, top_d2[:, -1], md2)
 
-    gidx = jnp.take_along_axis(idx, top_i, axis=-1)
-    pw = pm.power[gidx]                              # (R,k,3)
-    pdir = pm.inc_dir[gidx]
+    pw = pm.power[best_idx]                          # (R,k,3)
+    pdir = pm.inc_dir[best_idx]
     w = 1.0 - jnp.sqrt(jnp.maximum(top_d2, 0.0)) / (cone_k * max_dist)
     front = jnp.sum(pdir * eyev[:, None], -1) < 0.0
     use = top_valid & front
