@@ -86,7 +86,7 @@ def cornell_gi(timer):
     sc.camera = replace(sc.camera, width=W, height=H)
     t0 = time.perf_counter()
     with timer.phase("cornell_gi_total"):
-        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=20000,
+        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=8000,
                               key=jax.random.PRNGKey(7), timer=timer)
     wall = time.perf_counter() - t0
     assert np.isfinite(canvas).all()

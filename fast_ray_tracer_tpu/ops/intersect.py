@@ -395,7 +395,8 @@ def apply_csg_filter(t_cand, csg_tables, shadow: bool = False):
 # ---------------------------------------------------------------------------
 
 def cluster_mask(ir: SceneIR, orig, dirs):
-    """Conservative ray-vs-cluster-AABB slab test: (R, Nc) bool.
+    """Conservative ray-vs-cluster-AABB slab test: (mask (R, Nc) bool,
+    entry t (R, Nc) — +inf where missed).
 
     Replaces the reference's per-ray BVH AABB walk (group.c:91-96,
     bounding_box.c:163-175) with one dense test over all clusters."""
@@ -408,13 +409,26 @@ def cluster_mask(ir: SceneIR, orig, dirs):
     t2 = (ir.cluster_max[None] - orig[:, None]) * inv[:, None]
     tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
     tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    return (tmin <= tmax) & (tmax > 0.0)
+    hit = (tmin <= tmax) & (tmax > 0.0)
+    entry = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
+    return hit, entry
 
 
 _BIG_RANK = np.int32(np.iinfo(np.int32).max)   # host scalar: a module-
 # level jnp constant would materialize on the import-time default device
 # (the TPU tunnel) and block lowering when that device is busy
-_MESH_RAY_BLOCK = 512
+_GATHER_CLUSTERS = 128    # clusters gathered per merge round
+# Early exit (stop rounds once no remaining cluster can improve any
+# ray) is exact and ~frees the deep-bounce levels, but every variant
+# tried — stop in the while cond, stop carried as a body-computed
+# scalar, suffix tables sliced on either axis — reproducibly CRASHES the
+# TPU worker a few chunks into the bounding_boxes render ("TPU worker
+# process crashed / kernel fault"), while the identical program without
+# the stop runs to completion. Until the runtime bug is resolved the
+# stop is disabled by default; the near-to-far ordering it relies on is
+# kept (it is cheap and harmless).
+_EARLY_EXIT = False
+_MESH_BLOCK_RAYS = 64     # rays per block (tight frusta, few live clusters)
 _DEAD_ORIGIN = 1e30   # dead-lane sentinel: hits no cluster AABB
 
 
@@ -427,29 +441,28 @@ def neutralize_rays(orig, dirs, active):
             jnp.where(a, dirs, jnp.ones((), dirs.dtype)))
 
 
-_GATHER_CLUSTERS = 128   # clusters gathered per merge round
-_MESH_BLOCK_RAYS = 128    # rays per block (tighter frusta -> fewer live
-                          # clusters per block than wide 512-ray blocks)
-
-
-def _mesh_gather_reduce(ir: SceneIR, orig, dirs, init_fn, chunk_fn,
-                        merge_fn):
+def _mesh_gather_reduce(ir: SceneIR, orig, dirs, order_fn, init_fn,
+                        chunk_fn, merge_fn, stop_fn):
     """TPU-native clustered-mesh reduction, exact for ANY cluster count.
 
-    Per ray block (vmapped — no serialized lax.map): compact the live
-    clusters (AABB touched by any ray in the block) with ONE nonzero,
-    then a lax.while_loop folds them in rounds of K clusters — each
-    round gathers K*C triangles and runs one dense (B x K*C)
-    Möller-Trumbore, merged into a running monoid state. Coherent blocks
-    need 1 round; incoherent ones just run more rounds (a vmapped
-    while_loop runs until every block is done), so correctness never
-    depends on a budget and there is NO dense fallback branch (a
-    lax.cond under vmap becomes a select that would execute the dense
-    side always). The lockstep analog of the reference's per-ray BVH
-    descent (src/shapes/group.c:91-147).
+    Per ray block (vmapped — no serialized lax.map): order the live
+    clusters by a query-specific priority (near-to-far entry t for
+    closest-hit, min shadow-walk rank for shadow queries), then a
+    lax.while_loop folds them in rounds of K clusters — each round
+    gathers K*C triangles and runs one dense (B x K*C) Möller-Trumbore
+    merged into a running monoid state. The loop stops EARLY as soon as
+    no remaining cluster can improve any ray's state (stop_fn against a
+    per-ray suffix bound), the lockstep analog of the reference's
+    ordered per-ray BVH descent + early exit (src/shapes/group.c:91-147).
+    A vmapped while_loop runs until every block is done, so the
+    per-block trip count is the max over the vmap batch — the ordering
+    makes that max small instead of ceil(n_live / K).
 
-    init_fn(B, dtype) -> state; chunk_fn(tri_idx (T,), tpos (B,T)) ->
-    state; merge_fn(a, b) -> state (associative)."""
+    order_fn(mask (B,Nc), entry (B,Nc)) -> (priority (Nc,) ascending
+    sort key over clusters, bound (B,Nc) per-ray per-cluster improvement
+    bound); init_fn(B, dtype) -> state; chunk_fn(tri_idx, tpos) ->
+    state; merge_fn(a, b) -> state; stop_fn(state, suffix_bound (B,))
+    -> (B,) bool "this ray cannot improve from any remaining cluster"."""
     meta = ir.meta
     C = meta.cluster_size
     Nc = meta.n_clusters
@@ -465,37 +478,68 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, init_fn, chunk_fn,
     orig_b = orig.reshape(nblk, B, 3)
     dirs_b = dirs.reshape(nblk, B, 3)
     arangeC = jnp.arange(C)
-    n_rounds_max = -(-Nc // K)
+    n_rounds = -(-Nc // K)
 
     def block(o, d):
-        mask = jnp.any(cluster_mask(ir, o, d), axis=0)        # (Nc,)
-        n_live = jnp.sum(mask, dtype=jnp.int32)
-        (cidx,) = jnp.nonzero(mask, size=Nc, fill_value=-1)
+        mask, entry = cluster_mask(ir, o, d)              # (B,Nc)
+        any_mask = jnp.any(mask, axis=0)                  # (Nc,)
+        priority, bound = order_fn(mask, entry)
+        # dead clusters sort last; live ones by ascending priority
+        order = jnp.argsort(jnp.where(any_mask, priority, jnp.inf))
         pad_k = (-Nc) % K
+        sorted_live = any_mask[order]
+        sorted_bound = bound[:, order]                    # (B,Nc)
         if pad_k:
-            cidx = jnp.concatenate(
-                [cidx, jnp.full((pad_k,), -1, cidx.dtype)])
-        rounds = -(-n_live // K)
+            order = jnp.concatenate(
+                [order, jnp.zeros((pad_k,), order.dtype)])
+            sorted_live = jnp.concatenate(
+                [sorted_live, jnp.zeros((pad_k,), bool)])
+            sorted_bound = jnp.concatenate(
+                [sorted_bound,
+                 jnp.full((B, pad_k), jnp.inf, sorted_bound.dtype)], 1)
+        # per-ray suffix bound at each round boundary: the best possible
+        # improvement any remaining cluster could deliver (static python
+        # suffix loop — n_rounds is small)
+        per_round = sorted_bound.reshape(B, -1, K).min(-1)   # (B,nr)
+        sufs = [jnp.full((B,), jnp.inf, per_round.dtype)]
+        for i in range(n_rounds - 1, -1, -1):
+            sufs.append(jnp.minimum(per_round[:, i], sufs[-1]))
+        # (nr+1, B): the round axis LEADS so the per-round lookup slices
+        # the leading axis (a dynamic slice on the short trailing axis
+        # faulted the TPU worker)
+        suf = jnp.stack(sufs[::-1], axis=0)
 
+        # the stop test runs in the BODY and carries one scalar `done`
+        # flag; the while cond only reads scalars (a vector reduce +
+        # dynamic slice in the cond closure faulted the TPU worker)
         def cond(st):
-            return st[0] < rounds
+            r, done, acc = st
+            return (r < n_rounds) & ~done
 
         def body(st):
-            r, acc = st
-            ids = jax.lax.dynamic_slice(cidx, (r * K,), (K,))   # (K,)
-            live = ids >= 0
-            safe = jnp.maximum(ids, 0)
-            tri_idx = (safe[:, None] * C + arangeC[None]).reshape(-1)
+            r, done, acc = st
+            ids = jax.lax.dynamic_slice(order, (r * K,), (K,))
+            live = jax.lax.dynamic_slice(sorted_live, (r * K,), (K,))
+            tri_idx = (ids[:, None] * C + arangeC[None]).reshape(-1)
             p1 = ir.tri_p1[tri_idx]
             e1 = ir.tri_e1[tri_idx]
             e2 = ir.tri_e2[tri_idx]
-            t, _, _ = _triangle_t(o, d, p1, e1, e2)             # (B,K*C)
+            t, _, _ = _triangle_t(o, d, p1, e1, e2)       # (B,K*C)
             valid = jnp.broadcast_to(live[:, None], (K, C)).reshape(-1)
             tpos = jnp.where((t > 0.0) & valid[None], t, jnp.inf)
-            return r + 1, merge_fn(acc, chunk_fn(tri_idx, tpos))
+            acc = merge_fn(acc, chunk_fn(tri_idx, tpos))
+            nxt = jax.lax.dynamic_slice_in_dim(
+                suf, jnp.minimum(r + 1, n_rounds), 1, axis=0)[0]
+            done = jnp.all(stop_fn(acc, nxt)) if _EARLY_EXIT \
+                else jnp.bool_(False)
+            return r + 1, done, acc
 
-        _, acc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), init_fn(B, o.dtype)))
+        # always run at least one round (zero-trip vmapped while_loops
+        # are another fault suspect; round 0 of an all-dead block is
+        # cheap anyway)
+        _, _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(False),
+                         init_fn(B, o.dtype)))
         return acc
 
     out = jax.vmap(block)(orig_b, dirs_b)
@@ -505,7 +549,12 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, init_fn, chunk_fn,
 
 def mesh_closest(ir: SceneIR, orig, dirs):
     """Nearest positive triangle hit over the clustered mesh:
-    (t (R,), tri_index (R,)); misses are t=inf."""
+    (t (R,), tri_index (R,)); misses are t=inf. Clusters stream
+    near-to-far (block-min entry t); a ray is settled once its best t is
+    at or below every remaining cluster's entry t."""
+    def order(mask, entry):
+        return jnp.min(entry, axis=0), entry
+
     def init(B, dtype):
         return (jnp.full((B,), jnp.inf, dtype),
                 jnp.zeros((B,), jnp.int32))
@@ -519,15 +568,31 @@ def mesh_closest(ir: SceneIR, orig, dirs):
         upd = b[0] < a[0]
         return jnp.where(upd, b[0], a[0]), jnp.where(upd, b[1], a[1])
 
-    return _mesh_gather_reduce(ir, orig, dirs, init, chunk, merge)
+    def stop(acc, suffix_entry):
+        return acc[0] <= suffix_entry
+
+    return _mesh_gather_reduce(ir, orig, dirs, order, init, chunk, merge,
+                               stop)
 
 
 def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
     """Early-exit shadow components over the clustered mesh: per ray the
     minimum shadow-walk rank among triangles with a positive hit and the
     nearest positive casts-shadow t within that rank's leaf (see
-    shadow_hit_early_exit). Partial (rank, t) states merge
-    rank-lexicographically (equal ranks take the nearer t)."""
+    shadow_hit_early_exit). Clusters stream in ascending min-rank order;
+    a ray is settled once its best rank is at or below every remaining
+    cluster's min rank. Partial (rank, t) states merge
+    rank-lexicographically (ranks are unique per leaf, so an equal-rank
+    merge never mixes leaves)."""
+    C = ir.meta.cluster_size
+    Nc = ir.meta.n_clusters
+    cluster_rank = jnp.min(tri_rank.reshape(Nc, C), axis=-1)   # (Nc,)
+
+    def order(mask, entry):
+        bound = jnp.where(mask, cluster_rank[None].astype(entry.dtype),
+                          jnp.inf)
+        return cluster_rank.astype(entry.dtype), bound
+
     def init(B, dtype):
         return (jnp.full((B,), _BIG_RANK), jnp.full((B,), jnp.inf, dtype))
 
@@ -547,7 +612,11 @@ def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
                       jnp.where(rb < ra, tb, jnp.minimum(ta, tb)))
         return r, t
 
-    return _mesh_gather_reduce(ir, orig, dirs, init, chunk, merge)
+    def stop(acc, suffix_rank):
+        return acc[0].astype(suffix_rank.dtype) <= suffix_rank
+
+    return _mesh_gather_reduce(ir, orig, dirs, order, init, chunk, merge,
+                               stop)
 
 
 class Hit(NamedTuple):

@@ -395,12 +395,22 @@ def irradiance_estimate(pm: PhotonMap, points, eyev, num: int,
     # r^2: kth-nearest distance^2 once the heap is full, else max_dist^2
     r2 = jnp.where(found >= num, top_d2[:, -1], md2)
 
-    pw = pm.power[best_idx]                          # (R,k,3)
-    pdir = pm.inc_dir[best_idx]
-    w = 1.0 - jnp.sqrt(jnp.maximum(top_d2, 0.0)) / (cone_k * max_dist)
-    front = jnp.sum(pdir * eyev[:, None], -1) < 0.0
-    use = top_valid & front
-    irr = jnp.sum(jnp.where(use[..., None], pw * w[..., None], 0.0), axis=1)
+    # weighted sum in k-slices: gathering all (R,k,3) powers+directions
+    # at once is ~0.5GB per live tensor for the 800x800 GI render's
+    # gather-ray batches — slicing keeps peak memory at one slice
+    w_all = 1.0 - jnp.sqrt(jnp.maximum(top_d2, 0.0)) / (cone_k * max_dist)
+    irr = jnp.zeros((R, 3), dtype)
+    KSLICE = 64
+    for lo in range(0, k, KSLICE):
+        hi = min(lo + KSLICE, k)
+        idx_s = best_idx[:, lo:hi]
+        pw = pm.power[idx_s]                         # (R,ks,3)
+        pdir = pm.inc_dir[idx_s]
+        front = jnp.sum(pdir * eyev[:, None], -1) < 0.0
+        use = top_valid[:, lo:hi] & front
+        irr = irr + jnp.sum(
+            jnp.where(use[..., None],
+                      pw * w_all[:, lo:hi, None], 0.0), axis=1)
     norm = 1.0 / ((1.0 - 2.0 / (3.0 * cone_k)) * jnp.pi * r2)
     irr = irr * norm[:, None]
     irr = jnp.where((found >= 8)[:, None], irr, 0.0)
