@@ -86,7 +86,7 @@ def cornell_gi(timer):
     sc.camera = replace(sc.camera, width=W, height=H)
     t0 = time.perf_counter()
     with timer.phase("cornell_gi_total"):
-        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=8000,
+        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=32000,
                               key=jax.random.PRNGKey(7), timer=timer)
     wall = time.perf_counter() - t0
     assert np.isfinite(canvas).all()
@@ -126,7 +126,7 @@ def mesh_bbox(timer):
     sc.camera = replace(sc.camera, width=W, height=H)
     t0 = time.perf_counter()
     with timer.phase("mesh_bbox_total"):
-        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=4096,
+        canvas = render_scene(sc, dtype=jnp.float32, chunk_pixels=16384,
                               timer=timer)
     wall = time.perf_counter() - t0
     assert np.isfinite(canvas).all()
@@ -143,10 +143,18 @@ def mesh_bbox(timer):
 
 
 def scaling_cpu_mesh(timer):
-    """Scaling efficiency of the sharded render path on the 8-virtual-
-    device CPU mesh (this host has 2 physical cores, so virtual-device
-    scaling is core-bound — the table demonstrates the mechanism; the
-    >=80% target applies to real multi-chip ICI, pending hardware)."""
+    """Scaling efficiency of the sharded render path on the CPU mesh.
+
+    Methodology (round-4 fix — the round-3 table used a 256x128 toy frame
+    whose fixed dispatch overhead swamped the work and read as 0.53
+    efficiency at 2 devices): the MEASURED claim is nd=1 -> nd=2 on a
+    1024x1024 frame (1M pixels, depth-5 glass scene) — this host has
+    exactly 2 physical cores, so 2 virtual devices is the widest
+    hardware-backed point; 8 virtual devices on 2 cores only demonstrates
+    the sharding mechanism and is reported as wall time without an
+    efficiency claim. >=80% at real multi-chip widths rides the same
+    shard_map path over ICI (validated for correctness by
+    dryrun_multichip and the 2-process gloo test)."""
     import json as _json
     import os
     import subprocess
@@ -162,31 +170,41 @@ import jax.numpy as jnp
 from fast_ray_tracer_tpu.parallel.mesh import make_mesh
 from fast_ray_tracer_tpu.render.render import render_scene
 from fast_ray_tracer_tpu.scene.demo import glass_spheres
-scene = glass_spheres(256, 128)
-out = {}
-for nd in (1, 2, 4, 8):
+out = {"big": {}, "mech": {}}
+scene = glass_spheres(1024, 1024)
+for nd in (1, 2):
     mesh = make_mesh(nd)
-    render_scene(scene, dtype=jnp.float32, chunk_pixels=32768, mesh=mesh)
+    render_scene(scene, dtype=jnp.float32, chunk_pixels=131072, mesh=mesh)
     t0 = time.perf_counter()
-    render_scene(scene, dtype=jnp.float32, chunk_pixels=32768, mesh=mesh)
-    out[nd] = time.perf_counter() - t0
+    render_scene(scene, dtype=jnp.float32, chunk_pixels=131072, mesh=mesh)
+    out["big"][nd] = time.perf_counter() - t0
+small = glass_spheres(256, 128)
+mesh = make_mesh(8)
+render_scene(small, dtype=jnp.float32, chunk_pixels=32768, mesh=mesh)
+t0 = time.perf_counter()
+render_scene(small, dtype=jnp.float32, chunk_pixels=32768, mesh=mesh)
+out["mech"][8] = time.perf_counter() - t0
 print(json.dumps(out))
 """
     with timer.phase("scaling_cpu_mesh"):
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
         r = subprocess.run([sys.executable, "-c", code], env=env,
-                           capture_output=True, text=True, timeout=1800)
+                           capture_output=True, text=True, timeout=3000)
     line = r.stdout.strip().splitlines()[-1]
-    walls = {int(k): v for k, v in _json.loads(line).items()}
+    out = _json.loads(line)
+    walls = {int(k): v for k, v in out["big"].items()}
     eff = {nd: walls[1] / (walls[nd] * nd) for nd in walls}
     return {
-        "scaling_cpu8_wall_s": {str(k): round(v, 3)
+        "scaling_1Mpx_wall_s": {str(k): round(v, 3)
                                 for k, v in walls.items()},
-        "scaling_cpu8_efficiency": {str(k): round(v, 3)
+        "scaling_1Mpx_efficiency": {str(k): round(v, 3)
                                     for k, v in eff.items()},
-        "scaling_note": "2 physical cores under 8 virtual devices: "
-                        "core-bound; >=80% applies to real ICI chips",
+        "scaling_mech_wall_s": {str(k): round(v, 3)
+                                for k, v in out["mech"].items()},
+        "scaling_note": "1024x1024 frame, nd=2 = the host's 2 physical "
+                        "cores (widest hardware-backed point); nd=8 row "
+                        "is mechanism-only on 2 cores",
     }
 
 

@@ -17,6 +17,8 @@ src/shapes/* xs scratch sizes) of t-slots, triangles one slot; misses are
 from __future__ import annotations
 
 import math
+import os
+from contextlib import contextmanager
 from functools import partial
 from typing import NamedTuple
 
@@ -45,6 +47,11 @@ def slot_tables(meta) -> np.ndarray:
             ids.extend([p] * k)
     if not meta.use_clusters:
         ids.extend(range(meta.n_analytic, meta.n_analytic + meta.n_triangles))
+    if not ids:
+        # zero analytic prims + clustered mesh (e.g. cornell_box_water):
+        # one dead slot (its t is always +inf) keeps every slot-indexed
+        # gather in range; the mesh path supplies the real hits
+        ids = [0]
     return np.asarray(ids, dtype=np.int32)
 
 
@@ -394,12 +401,19 @@ def apply_csg_filter(t_cand, csg_tables, shadow: bool = False):
 # clustered triangle mesh queries (large meshes)
 # ---------------------------------------------------------------------------
 
-def cluster_mask(ir: SceneIR, orig, dirs):
+def cluster_mask(ir: SceneIR, orig, dirs, line: bool = False):
     """Conservative ray-vs-cluster-AABB slab test: (mask (R, Nc) bool,
     entry t (R, Nc) — +inf where missed).
 
     Replaces the reference's per-ray BVH AABB walk (group.c:91-96,
-    bounding_box.c:163-175) with one dense test over all clusters."""
+    bounding_box.c:163-175) with one dense test over all clusters.
+
+    line=True keeps boxes entirely behind the origin (tmax <= 0) — the
+    reference's bounding_box_intersects has NO positivity test
+    (bounding_box.c:165-175), and the refraction containers walk
+    (renderer.c:406-447) runs over negative-t intersections too; the
+    default drops them because only t > 0 can win a closest/shadow
+    query."""
     d = dirs
     # finite saturated inverse: no 0-division NaN, conservative slabs
     tiny = 1e-12
@@ -409,8 +423,12 @@ def cluster_mask(ir: SceneIR, orig, dirs):
     t2 = (ir.cluster_max[None] - orig[:, None]) * inv[:, None]
     tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
     tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    hit = (tmin <= tmax) & (tmax > 0.0)
-    entry = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
+    if line:
+        hit = tmin <= tmax
+        entry = jnp.where(hit, tmin, jnp.inf)
+    else:
+        hit = (tmin <= tmax) & (tmax > 0.0)
+        entry = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
     return hit, entry
 
 
@@ -418,18 +436,60 @@ _BIG_RANK = np.int32(np.iinfo(np.int32).max)   # host scalar: a module-
 # level jnp constant would materialize on the import-time default device
 # (the TPU tunnel) and block lowering when that device is busy
 _GATHER_CLUSTERS = 128    # clusters gathered per merge round
-# Early exit (stop rounds once no remaining cluster can improve any
-# ray) is exact and ~frees the deep-bounce levels, but every variant
-# tried — stop in the while cond, stop carried as a body-computed
-# scalar, suffix tables sliced on either axis — reproducibly CRASHES the
-# TPU worker a few chunks into the bounding_boxes render ("TPU worker
-# process crashed / kernel fault"), while the identical program without
-# the stop runs to completion. Until the runtime bug is resolved the
-# stop is disabled by default; the near-to-far ordering it relies on is
-# kept (it is cheap and harmless).
-_EARLY_EXIT = False
-_MESH_BLOCK_RAYS = 64     # rays per block (tight frusta, few live clusters)
+_MESH_BLOCK_RAYS = 32     # rays per block (tight frusta, few live clusters)
 _DEAD_ORIGIN = 1e30   # dead-lane sentinel: hits no cluster AABB
+
+# Shortlist mode: inside a `mesh_shortlist()` context each fold processes
+# only the first `rounds` rounds of the priority-sorted clusters and
+# reports a per-fold "some ray unsettled" flag into the context's sink.
+# The caller checks the OR of the flags once per chunk and re-renders the
+# chunk with the exact full fold when it fires (render.py) — the same
+# probe/overflow/fallback pattern the static-bucket wavefront uses. This
+# is the lockstep analog of the reference's ordered per-ray BVH descent +
+# early exit (src/shapes/group.c:91-147): near-to-far ordering settles
+# almost every ray within a couple of rounds, and the few that don't are
+# caught by the flag instead of a per-block dynamic loop (a vmapped
+# while_loop early exit reproducibly faulted the TPU runtime in round 3).
+_SHORTLIST = {"rounds": 0, "sink": None}
+_SHORT_ROUNDS_DEFAULT = int(os.environ.get("FRT_MESH_SHORT_ROUNDS", "2"))
+
+
+class _ShortlistSink:
+    """Collects per-fold unsettled flags during tracing; `combined()`
+    ORs them into one scalar for the chunk's overflow check."""
+
+    def __init__(self):
+        self.flags = []
+
+    def combined(self):
+        out = jnp.bool_(False)
+        for f in self.flags:
+            out = out | f
+        return out
+
+
+@contextmanager
+def mesh_shortlist(rounds: int = None):
+    """Enable shortlist mesh folds for the enclosed trace; yields the
+    sink whose .combined() is the chunk's mesh-overflow flag."""
+    sink = _ShortlistSink()
+    prev = dict(_SHORTLIST)
+    _SHORTLIST["rounds"] = _SHORT_ROUNDS_DEFAULT if rounds is None else rounds
+    _SHORTLIST["sink"] = sink
+    try:
+        yield sink
+    finally:
+        _SHORTLIST.update(prev)
+
+
+def shortlist_worthwhile(meta) -> bool:
+    """Shortlist folds pay once the full fold spans several rounds (the
+    cut saves (n_rounds - rounds)/n_rounds of all mesh work; tiny meshes
+    fit in the shortlist anyway and would only add the fallback risk)."""
+    if not meta.use_clusters:
+        return False
+    n_rounds = -(-meta.n_clusters // _GATHER_CLUSTERS)
+    return n_rounds > max(1, _SHORT_ROUNDS_DEFAULT) + 1
 
 
 def neutralize_rays(orig, dirs, active):
@@ -442,27 +502,31 @@ def neutralize_rays(orig, dirs, active):
 
 
 def _mesh_gather_reduce(ir: SceneIR, orig, dirs, order_fn, init_fn,
-                        chunk_fn, merge_fn, stop_fn):
-    """TPU-native clustered-mesh reduction, exact for ANY cluster count.
+                        chunk_fn, merge_fn, stop_fn, line: bool = False,
+                        extra=()):
+    """TPU-native clustered-mesh reduction over rounds of K clusters.
 
     Per ray block (vmapped — no serialized lax.map): order the live
     clusters by a query-specific priority (near-to-far entry t for
-    closest-hit, min shadow-walk rank for shadow queries), then a
-    lax.while_loop folds them in rounds of K clusters — each round
-    gathers K*C triangles and runs one dense (B x K*C) Möller-Trumbore
-    merged into a running monoid state. The loop stops EARLY as soon as
-    no remaining cluster can improve any ray's state (stop_fn against a
-    per-ray suffix bound), the lockstep analog of the reference's
-    ordered per-ray BVH descent + early exit (src/shapes/group.c:91-147).
-    A vmapped while_loop runs until every block is done, so the
-    per-block trip count is the max over the vmap batch — the ordering
-    makes that max small instead of ceil(n_live / K).
+    closest-hit, min shadow-walk rank for shadow queries), then fold
+    them in rounds of K clusters — each round gathers K*C triangles and
+    runs one dense (B x K*C) Möller-Trumbore merged into a running
+    monoid state. Outside a shortlist context all ceil(Nc/K) rounds run
+    (exact for any cluster count); inside one, only `rounds` rounds run
+    and rays whose state could still improve (stop_fn vs the per-ray
+    suffix bound over the unprocessed clusters) raise the context's
+    overflow flag.
 
     order_fn(mask (B,Nc), entry (B,Nc)) -> (priority (Nc,) ascending
     sort key over clusters, bound (B,Nc) per-ray per-cluster improvement
-    bound); init_fn(B, dtype) -> state; chunk_fn(tri_idx, tpos) ->
-    state; merge_fn(a, b) -> state; stop_fn(state, suffix_bound (B,))
-    -> (B,) bool "this ray cannot improve from any remaining cluster"."""
+    bound); init_fn(B, dtype) -> state; chunk_fn(tri_idx, t, *extra_b)
+    -> state; merge_fn(a, b) -> state; stop_fn(state, suffix_bound (B,))
+    -> (B,) bool "this ray cannot improve from any remaining cluster"
+    (None -> always run every round, no shortlist cut).
+
+    line=True folds intersections of ANY sign (containers walk); the
+    default masks to t > 0. `extra`: per-ray (R,)/(R,k) arrays blocked
+    alongside the rays and passed to chunk_fn."""
     meta = ir.meta
     C = meta.cluster_size
     Nc = meta.n_clusters
@@ -474,50 +538,34 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, order_fn, init_fn,
         orig = jnp.concatenate(
             [orig, jnp.full((pad, 3), _DEAD_ORIGIN, orig.dtype)])
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+        extra = tuple(jnp.concatenate(
+            [e, jnp.zeros((pad,) + e.shape[1:], e.dtype)]) for e in extra)
     nblk = orig.shape[0] // B
     orig_b = orig.reshape(nblk, B, 3)
     dirs_b = dirs.reshape(nblk, B, 3)
+    extra_b = tuple(e.reshape(nblk, B, *e.shape[1:]) for e in extra)
     arangeC = jnp.arange(C)
     n_rounds = -(-Nc // K)
+    sink = _SHORTLIST["sink"]
+    run_rounds = n_rounds
+    if sink is not None and stop_fn is not None:
+        run_rounds = min(max(1, _SHORTLIST["rounds"]), n_rounds)
 
-    def block(o, d):
-        mask, entry = cluster_mask(ir, o, d)              # (B,Nc)
+    def block(o, d, *ex):
+        mask, entry = cluster_mask(ir, o, d, line=line)   # (B,Nc)
         any_mask = jnp.any(mask, axis=0)                  # (Nc,)
         priority, bound = order_fn(mask, entry)
         # dead clusters sort last; live ones by ascending priority
         order = jnp.argsort(jnp.where(any_mask, priority, jnp.inf))
-        pad_k = (-Nc) % K
+        pad_k = run_rounds * K - Nc
         sorted_live = any_mask[order]
-        sorted_bound = bound[:, order]                    # (B,Nc)
-        if pad_k:
+        if pad_k > 0:
             order = jnp.concatenate(
                 [order, jnp.zeros((pad_k,), order.dtype)])
             sorted_live = jnp.concatenate(
                 [sorted_live, jnp.zeros((pad_k,), bool)])
-            sorted_bound = jnp.concatenate(
-                [sorted_bound,
-                 jnp.full((B, pad_k), jnp.inf, sorted_bound.dtype)], 1)
-        # per-ray suffix bound at each round boundary: the best possible
-        # improvement any remaining cluster could deliver (static python
-        # suffix loop — n_rounds is small)
-        per_round = sorted_bound.reshape(B, -1, K).min(-1)   # (B,nr)
-        sufs = [jnp.full((B,), jnp.inf, per_round.dtype)]
-        for i in range(n_rounds - 1, -1, -1):
-            sufs.append(jnp.minimum(per_round[:, i], sufs[-1]))
-        # (nr+1, B): the round axis LEADS so the per-round lookup slices
-        # the leading axis (a dynamic slice on the short trailing axis
-        # faulted the TPU worker)
-        suf = jnp.stack(sufs[::-1], axis=0)
 
-        # the stop test runs in the BODY and carries one scalar `done`
-        # flag; the while cond only reads scalars (a vector reduce +
-        # dynamic slice in the cond closure faulted the TPU worker)
-        def cond(st):
-            r, done, acc = st
-            return (r < n_rounds) & ~done
-
-        def body(st):
-            r, done, acc = st
+        def fold_round(acc, r):
             ids = jax.lax.dynamic_slice(order, (r * K,), (K,))
             live = jax.lax.dynamic_slice(sorted_live, (r * K,), (K,))
             tri_idx = (ids[:, None] * C + arangeC[None]).reshape(-1)
@@ -526,23 +574,33 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, order_fn, init_fn,
             e2 = ir.tri_e2[tri_idx]
             t, _, _ = _triangle_t(o, d, p1, e1, e2)       # (B,K*C)
             valid = jnp.broadcast_to(live[:, None], (K, C)).reshape(-1)
-            tpos = jnp.where((t > 0.0) & valid[None], t, jnp.inf)
-            acc = merge_fn(acc, chunk_fn(tri_idx, tpos))
-            nxt = jax.lax.dynamic_slice_in_dim(
-                suf, jnp.minimum(r + 1, n_rounds), 1, axis=0)[0]
-            done = jnp.all(stop_fn(acc, nxt)) if _EARLY_EXIT \
-                else jnp.bool_(False)
-            return r + 1, done, acc
+            ok = valid[None] & jnp.isfinite(t)
+            if not line:
+                ok = ok & (t > 0.0)
+            tmask = jnp.where(ok, t, jnp.inf)
+            return merge_fn(acc, chunk_fn(tri_idx, tmask, *ex)), None
 
-        # always run at least one round (zero-trip vmapped while_loops
-        # are another fault suspect; round 0 of an all-dead block is
-        # cheap anyway)
-        _, _, acc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.bool_(False),
-                         init_fn(B, o.dtype)))
-        return acc
+        acc = init_fn(B, o.dtype)
+        if run_rounds <= 4:
+            for r in range(run_rounds):
+                acc, _ = fold_round(acc, jnp.int32(r))
+        else:
+            acc, _ = jax.lax.scan(fold_round, acc,
+                                  jnp.arange(run_rounds, dtype=jnp.int32))
+        if run_rounds < n_rounds:
+            # per-ray best possible improvement among unprocessed
+            # clusters; a ray whose state could still improve is
+            # unsettled -> chunk overflow -> exact full-fold re-render.
+            # (run_rounds < n_rounds implies run_rounds*K < Nc, so
+            # `order` is unpadded here.)
+            suffix = jnp.min(bound[:, order][:, run_rounds * K:], axis=-1)
+            unsettled = ~stop_fn(acc, suffix)
+            return acc, jnp.any(unsettled)
+        return acc, jnp.bool_(False)
 
-    out = jax.vmap(block)(orig_b, dirs_b)
+    out, unsettled = jax.vmap(block)(orig_b, dirs_b, *extra_b)
+    if sink is not None and run_rounds < n_rounds:
+        sink.flags.append(jnp.any(unsettled))
     return jax.tree_util.tree_map(
         lambda a: a.reshape(nblk * B, *a.shape[2:])[:R], out)
 
@@ -619,6 +677,62 @@ def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
                                stop)
 
 
+def mesh_containers(ir: SceneIR, tri_ni, orig, dirs, t_hit, hit_tri):
+    """Refraction-containers contribution of the clustered mesh.
+
+    The reference containers walk (renderer.c:406-447) runs over the
+    FULLY sorted intersection list, negative t included. A triangle
+    contributes at most one intersection per ray (Möller-Trumbore), so
+    its parity before the hit is simply "has an entry with t < t_hit",
+    and the walk's candidate is the included entry with the LATEST t.
+    The inclusive walk (n2) additionally counts the hit entry itself —
+    for a mesh hit that is exactly the hit triangle (`hit_tri`, -1 when
+    the hit is analytic). Folds ALL line-intersecting clusters
+    (line=True — the reference's AABB test has no positivity cut,
+    bounding_box.c:165-175).
+
+    Returns (t1, ni1, t2, ni2): latest included entry t (-inf if none)
+    and its material Ni for each walk; the caller merges against the
+    dense-table walk by comparing ts."""
+    def order(mask, entry):
+        return jnp.min(entry, axis=0), entry    # full fold: order moot
+
+    def init(B, dtype):
+        neg = jnp.full((B,), -jnp.inf, dtype)
+        one = jnp.ones((B,), dtype)
+        return neg, one, neg, one
+
+    def chunk(tri_idx, t, t_hit_b, hit_tri_b):
+        fin = jnp.isfinite(t)
+        ni = tri_ni[tri_idx]                               # (T,)
+        inc1 = fin & (t < t_hit_b[:, None])
+        inc2 = inc1 | (fin & (tri_idx[None] == hit_tri_b[:, None]))
+
+        def pick(inc):
+            tm = jnp.where(inc, t, -jnp.inf)
+            best = jnp.max(tm, axis=-1)
+            arg = jnp.argmax(tm, axis=-1)
+            nib = jnp.where(jnp.isfinite(best), ni[arg], 1.0)
+            return best, nib
+
+        t1, n1 = pick(inc1)
+        t2, n2 = pick(inc2)
+        return t1, n1, t2, n2
+
+    def merge(a, b):
+        def later(ta, na_, tb, nb):
+            upd = tb > ta
+            return jnp.where(upd, tb, ta), jnp.where(upd, nb, na_)
+
+        t1, n1 = later(a[0], a[1], b[0], b[1])
+        t2, n2 = later(a[2], a[3], b[2], b[3])
+        return t1, n1, t2, n2
+
+    return _mesh_gather_reduce(
+        ir, orig, dirs, order, init, chunk, merge, stop_fn=None,
+        line=True, extra=(t_hit, hit_tri))
+
+
 class Hit(NamedTuple):
     valid: jnp.ndarray      # (R,) bool
     t: jnp.ndarray          # (R,)
@@ -652,10 +766,14 @@ def sorted_hits(t_cand, slot_prim, k: int):
     return t_sorted, prim
 
 
-def containers_n1_n2(meta, t_cand, t_hit, prim_ni):
+def containers_n1_n2(meta, t_cand, t_hit, prim_ni, with_entry_t=False):
     """Sort-free "containers" walk (renderer.c:406-447) over the dense
     candidate slots — replaces the former top_k + O(R*K^2) same-prim
     reduction with O(R*H) per-primitive parity/segmented-max.
+
+    with_entry_t=True additionally returns each walk's latest included
+    entry t (-inf when no object is inside) so the caller can merge with
+    the clustered-mesh containers fold (mesh_containers) by lateness.
 
     Derivation: the reference walks the t-ascending intersection list up
     to the hit (exclusive for n1, inclusive for n2); an object is in the
@@ -714,9 +832,14 @@ def containers_n1_n2(meta, t_cand, t_hit, prim_ni):
         best = jnp.argmax(score, axis=-1)
         any_in = jnp.max(score, axis=-1) >= 0
         ni = ni_cols[best]
-        return jnp.where(any_in, ni, jnp.ones_like(ni))
+        return jnp.where(any_in, ni, jnp.ones_like(ni)), \
+            jnp.where(any_in, m, neg_inf)
 
-    return solve(before1), solve(before2)
+    n1, m1 = solve(before1)
+    n2, m2 = solve(before2)
+    if with_entry_t:
+        return n1, n2, m1, m2
+    return n1, n2
 
 
 def any_hit_within(t_cand, slot_shadow_mask, dist):

@@ -34,14 +34,36 @@ def _mgr(directory: str, max_to_keep: int = 3):
     )
 
 
+def _leaf_name(path) -> str:
+    """Stable, filesystem-safe name from a tree path: names are derived
+    from the leaf's OWN path (e.g. params.mat_Kd, opt_state.0.mu.light_
+    intensity), so adding/removing sibling entries (like the optional
+    'key') can never shift which array a name refers to — the failure
+    mode of the earlier positional l0/l1/... scheme."""
+    import re
+    s = jax.tree_util.keystr(path)
+    s = re.sub(r"[^A-Za-z0-9_.]+", ".", s).strip(".")
+    return s or "root"
+
+
 def _flatten_nonempty(item):
-    """Flatten a pytree to an orbax-friendly flat dict, skipping
-    zero-size leaves (orbax refuses them; they carry no data and are
-    reconstructed from the example structure on restore)."""
-    leaves, treedef = jax.tree_util.tree_flatten(item)
-    payload = {f"l{i}": x for i, x in enumerate(leaves)
-               if int(np.size(x)) > 0}
-    return payload, leaves, treedef
+    """Flatten a pytree to an orbax-friendly flat dict keyed by path
+    names, skipping zero-size leaves (orbax refuses them; they carry no
+    data and are reconstructed from the example structure on restore)."""
+    leaves_p, treedef = jax.tree_util.tree_flatten_with_path(item)
+    names = []
+    seen = {}
+    for p, _ in leaves_p:
+        n = _leaf_name(p)
+        if n in seen:            # paranoia: sanitation collision
+            seen[n] += 1
+            n = f"{n}.{seen[n]}"
+        else:
+            seen[n] = 0
+        names.append(n)
+    leaves = [x for _, x in leaves_p]
+    payload = {n: x for n, x in zip(names, leaves) if int(np.size(x)) > 0}
+    return payload, names, leaves, treedef
 
 
 def save_train_state(directory: str, step: int, state: TrainState,
@@ -52,7 +74,7 @@ def save_train_state(directory: str, step: int, state: TrainState,
     item = {"params": state.params, "opt_state": state.opt_state}
     if key is not None:
         item["key"] = jax.random.key_data(key)
-    payload, _, _ = _flatten_nonempty(item)
+    payload, _, _, _ = _flatten_nonempty(item)
     mgr.save(step, args=ocp.args.StandardSave(payload))
     if wait:
         mgr.wait_until_finished()
@@ -63,7 +85,8 @@ def restore_train_state(directory: str, example: TrainState,
                         key=None) -> Optional[Tuple[int, TrainState, Any]]:
     """Restore the latest checkpoint, or None if the directory is empty.
     `example` supplies the pytree structure/dtypes (zero-size leaves come
-    straight from it)."""
+    straight from it). Checkpoints written by the earlier positional
+    (l0/l1/...) scheme are detected and read back compatibly."""
     import orbax.checkpoint as ocp
     if not os.path.isdir(directory):
         return None
@@ -75,10 +98,18 @@ def restore_train_state(directory: str, example: TrainState,
     item = {"params": example.params, "opt_state": example.opt_state}
     if key is not None:
         item["key"] = jax.random.key_data(key)
-    tmpl, leaves, treedef = _flatten_nonempty(item)
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
+    tmpl, names, leaves, treedef = _flatten_nonempty(item)
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
+        new_leaves = [restored.get(n, x) for n, x in zip(names, leaves)]
+    except BaseException:
+        # legacy positional layout (same item structure at save time)
+        tmpl_l = {f"l{i}": x for i, x in enumerate(leaves)
+                  if int(np.size(x)) > 0}
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(tmpl_l))
+        new_leaves = [restored.get(f"l{i}", x)
+                      for i, x in enumerate(leaves)]
     mgr.close()
-    new_leaves = [restored.get(f"l{i}", x) for i, x in enumerate(leaves)]
     item = jax.tree_util.tree_unflatten(treedef, new_leaves)
     out_key = None
     if "key" in item:

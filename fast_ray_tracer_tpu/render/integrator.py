@@ -26,8 +26,8 @@ from fast_ray_tracer_tpu.constants import EPSILON, SQRT3
 from fast_ray_tracer_tpu.ops.intersect import (
     Hit, apply_csg_filter, closest_hit, containers_n1_n2,
     csg_static_tables, intersect_candidates, mesh_closest,
-    mesh_shadow_reduce, neutralize_rays, shadow_components,
-    shadow_hit_early_exit, slot_tables, sorted_hits, triangle_uv_at,
+    mesh_containers, mesh_shadow_reduce, neutralize_rays,
+    shadow_components, shadow_hit_early_exit, slot_tables, triangle_uv_at,
 )
 from fast_ray_tracer_tpu.ops.patterns import ShapeCtx, build_shape_ctx, eval_pattern
 from fast_ray_tracer_tpu.render.normals import normal_at
@@ -71,8 +71,12 @@ class RenderStatics(NamedTuple):
     prim_ni: jnp.ndarray         # (N_prims,) refractive index per prim
     tri_rank: Optional[jnp.ndarray]    # (Nt,) i32 (use_clusters only)
     tri_shadow: Optional[jnp.ndarray]  # (Nt,) bool
+    tri_ni: Optional[jnp.ndarray]      # (Nt,) Ni (clusters + refraction)
     csg_tables: tuple            # static per-tree (slots, sides, nodes)
     cfg: ConfigDesc
+    gi_hook: Optional[object] = None   # photon-map GI term (render.py
+                                       # attaches via _replace after the
+                                       # photon pass)
 
 
 def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
@@ -82,10 +86,12 @@ def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
     slot_shadow = ir.mat_casts_shadow[prim_mat[jnp.asarray(slot_prim)]]
     slot_rank = ir.prim_shadow_rank[jnp.asarray(slot_prim)]
     prim_ni = ir.mat_Ni[prim_mat]
-    tri_rank = tri_shadow = None
+    tri_rank = tri_shadow = tri_ni = None
     if meta.use_clusters:
         tri_rank = ir.prim_shadow_rank[meta.n_analytic:]
         tri_shadow = ir.mat_casts_shadow[ir.tri_material_id]
+        if meta.needs_hit_sort:
+            tri_ni = ir.mat_Ni[ir.tri_material_id]
     csg_tables = ()
     if meta.has_csg:
         # static Python-int tables (meta) — arbitrary tree sizes, no i32
@@ -96,8 +102,8 @@ def build_statics(ir: SceneIR, cfg: ConfigDesc) -> RenderStatics:
     return RenderStatics(slot_prim=slot_prim, prim_mat=prim_mat,
                          slot_shadow=slot_shadow, slot_rank=slot_rank,
                          prim_ni=prim_ni, tri_rank=tri_rank,
-                         tri_shadow=tri_shadow, csg_tables=csg_tables,
-                         cfg=cfg)
+                         tri_shadow=tri_shadow, tri_ni=tri_ni,
+                         csg_tables=csg_tables, cfg=cfg)
 
 
 def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs,
@@ -120,7 +126,8 @@ def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs,
     use_m = t_m < hit.t
     return Hit(valid=hit.valid | jnp.isfinite(t_m),
                t=jnp.where(use_m, t_m, hit.t),
-               prim=jnp.where(use_m, idx_m + meta.n_analytic, hit.prim)), None
+               prim=jnp.where(use_m, idx_m + meta.n_analytic, hit.prim)), \
+        t_cand
 
 
 class Comps(NamedTuple):
@@ -159,54 +166,6 @@ def _normalize(v):
     return v / jnp.sqrt(n2.clip(jnp.finfo(v.dtype).tiny))
 
 
-def refraction_indices(t_sorted, prim_sorted, t_hit, prim_ni):
-    """Vectorized "containers" walk (renderer.c:406-447).
-
-    For the hit at t_hit: an object is inside-the-containers iff it has an
-    odd number of intersections strictly before the hit in sorted order;
-    n1 is the Ni of the inside object with the *latest* pre-hit
-    intersection; n2 repeats the computation with the hit included.
-    The walk is over ALL intersections (negative t included).
-    """
-    R, K = t_sorted.shape
-    valid = jnp.isfinite(t_sorted)
-    # hit index within the sorted list = first slot with t == t_hit
-    is_hit = valid & (t_sorted == t_hit[:, None])
-    hit_k = jnp.argmax(is_hit, axis=-1)
-
-    # Limit-independent decomposition: for a walk over entries j < L,
-    # entry k (< L) is the last processed occurrence of its prim iff its
-    # NEXT same-prim occurrence is >= L, and its prim count is odd iff
-    # the count strictly before k is even. Both quantities are
-    # independent of L, so the two limit passes (n1 at hit_k, n2 at
-    # hit_k + 1) share ONE pair of (R,K,K) reductions.
-    jj = jnp.arange(K)[:, None]                          # j (other entry)
-    kk = jnp.arange(K)[None, :]                          # k (query entry)
-    same = (prim_sorted[:, :, None] == prim_sorted[:, None, :]) \
-        & valid[:, :, None] & valid[:, None, :]          # (R,K,K) [j,k]
-    occ_before = jnp.sum(same & (jj < kk)[None], axis=1)          # (R,K)
-    nxt = jnp.min(jnp.where(same & (jj > kk)[None],
-                            jnp.broadcast_to(jj[None], same.shape), K),
-                  axis=1)                                          # (R,K)
-    even_before = (occ_before % 2) == 0
-    k_idx = jnp.arange(K)[None, :]
-
-    def last_inside_ni(limit_excl):
-        in_walk = k_idx < limit_excl[:, None]            # (R,K): k < L
-        active = valid & in_walk & even_before \
-            & (nxt >= limit_excl[:, None])
-        best = jnp.max(jnp.where(active, k_idx, -1), axis=-1)
-        any_active = best >= 0
-        prim_at = jnp.take_along_axis(prim_sorted,
-                                      jnp.maximum(best, 0)[:, None], 1)[:, 0]
-        ni = prim_ni[jnp.clip(prim_at, 0, prim_ni.shape[0] - 1)]
-        return jnp.where(any_active, ni, 1.0)
-
-    n1 = last_inside_ni(hit_k)
-    n2 = last_inside_ni(hit_k + 1)
-    return n1, n2
-
-
 def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
                          shadow_filter: bool = False) -> Comps:
     meta = ir.meta
@@ -240,9 +199,27 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
     under_point = p - normalv * EPSILON
 
     if meta.needs_hit_sort:
-        assert t_cand is not None, \
-            "containers walk requires the dense candidate path"
-        n1, n2 = containers_n1_n2(meta, t_cand, hit.t, rt.prim_ni)
+        if not meta.use_clusters:
+            n1, n2 = containers_n1_n2(meta, t_cand, hit.t, rt.prim_ni)
+        else:
+            # merge the dense-table walk with the clustered-mesh fold:
+            # the later included entry (larger t) is the containers'
+            # last object, so its Ni wins per walk (renderer.c:406-447)
+            neg = jnp.full_like(t, -jnp.inf)
+            one = jnp.ones_like(t)
+            if meta.n_analytic > 0:
+                dn1, dn2, dm1, dm2 = containers_n1_n2(
+                    meta, t_cand, hit.t, rt.prim_ni, with_entry_t=True)
+            else:
+                dn1 = dn2 = one
+                dm1 = dm2 = neg
+            na = meta.n_analytic
+            hit_tri = jnp.where(hit.valid & (prim >= na), prim - na, -1)
+            mt1, mn1, mt2, mn2 = mesh_containers(
+                ir, rt.tri_ni, orig, dirs,
+                jnp.where(hit.valid, hit.t, neg), hit_tri)
+            n1 = jnp.where(mt1 > dm1, mn1, dn1)
+            n2 = jnp.where(mt2 > dm2, mn2, dn2)
     else:
         n1 = jnp.ones_like(t)
         n2 = jnp.ones_like(t)
@@ -465,7 +442,7 @@ def shade_direct(ir: SceneIR, rt: RenderStatics, comps: Comps, key) -> Triple:
                 ir, rt, comps, li, light_pts, intensity)
 
     # GI (photon map) terms attach here — see render/photon.py
-    gi_hook = getattr(rt.cfg, "_gi_hook", None)
+    gi_hook = rt.gi_hook
     if gi_hook is not None:
         gi_add = gi_hook(ir, rt, comps, key)
         a = surface.a + gi_add

@@ -234,15 +234,14 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
     counts = np.bincount(cid, minlength=n_cells)
     start = np.zeros(n_cells + 1, np.int64)
     np.cumsum(counts, out=start[1:])
-    cap = int(min(counts.max(), max(64, int(np.percentile(
-        counts[counts > 0], 99.5)))))
-    # never truncate silently: photons past `cap` in a dense cell would be
-    # invisible to queries — report how many (bounded by the 99.5th
-    # percentile clamp, usually zero)
-    lost = int(np.maximum(counts - cap, 0).sum())
-    if lost:
-        print(f"photon grid: per-cell cap {cap} hides {lost}/{n} photons "
-              f"({100.0 * lost / n:.2f}%) in over-dense cells", flush=True)
+    # EXACT cap: every stored photon is visible to queries (the round-3
+    # 99.5th-percentile clamp hid ~2.4% of Cornell photons in exactly the
+    # over-dense cells where caustic energy concentrates — the reference
+    # kd-tree loses nothing, pm.c:163-252). Query memory stays bounded by
+    # irradiance_estimate's fixed query-block lax.map, not by the cap.
+    cap = int(counts.max()) if len(counts) else 0
+    print(f"photon grid: {n} photons, per-cell cap {cap} (exact — "
+          "hides 0 photons)", flush=True)
     return PhotonMap(
         pos=jnp.asarray(pos[order], dtype),
         power=jnp.asarray(power[order], dtype),
@@ -253,19 +252,28 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
         cap=cap, n=n)
 
 
+_BATCH_LADDER = (16384, 65536, 262144, 1048576)
+
+
 def trace_photons(ir: SceneIR, rt, key, dtype,
-                  caustic: bool, global_: bool, batch: int = 16384):
+                  caustic: bool, global_: bool, batch: int = None):
     """trace_photons (photon_tracer.c:202-257): apportion photons among
-    lights by CIE-Lab lightness of their intensity, trace until each
-    light's target count is *stored*, scale powers by 1/photon_count.
+    lights by CIE-Lab lightness of their intensity, trace until EACH
+    light's own target count is *stored* (per-light accounting, like the
+    reference's per-light `j` loop — a light that stalls out leaves its
+    deficit unfilled instead of skewing the next light's share), scale
+    powers by 1/photon_count.
 
     Tracing stays ON DEVICE end to end: each emission batch is traced,
     its stores compacted (device-side nonzero) and appended into a
     preallocated device buffer at a dynamic offset; the host reads ONE
     scalar (the running store count) per batch to decide loop exit, and
-    the full buffer transfers once per map for the grid build. (The
-    previous design round-tripped every batch's full (L*n,3) arrays to
-    host for np.nonzero — ~3MB per 16k batch through the TPU tunnel.)"""
+    the full buffer transfers once per map for the grid build. Batch
+    sizes ADAPT: the first (small) batch measures the scene's store
+    rate, then subsequent batches are sized from the remaining deficit
+    so low-yield scenes (e.g. a light outside the box, or a caustic map
+    fed by a small specular object) need a handful of big dispatches
+    instead of hundreds of small ones through the TPU tunnel."""
     cfg = rt.cfg
     num_photons = cfg.photon_count
     L_vals = [float(np.asarray(colorlib.rgb_to_lab(
@@ -274,6 +282,7 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
     total_l = sum(L_vals) or 1.0
     targets = [int(num_photons * l / total_l) for l in L_vals]
     total_target = sum(targets)
+    ladder = (batch,) if batch else _BATCH_LADDER
 
     step_fn = jax.jit(partial(photon_bounce_wave, ir, rt),
                       static_argnums=(0,))
@@ -297,6 +306,17 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
                                 limit)
         return (b_pos, b_pw, b_dr), new_count
 
+    def pick_batch(deficit, rate):
+        """Smallest ladder rung expected to cover the deficit (with
+        margin) at the measured stores-per-emitted-photon rate."""
+        if rate <= 0:
+            return ladder[-1]
+        need = deficit / rate * 1.3
+        for b in ladder:
+            if b >= need:
+                return b
+        return ladder[-1]
+
     maps = {}
     for map_type, enabled in ((CAUSTIC, caustic), (GLOBAL, global_)):
         if not enabled:
@@ -306,27 +326,31 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
                 jnp.zeros((total_target, 3), dtype),
                 jnp.zeros((total_target, 3), dtype))
         count = jnp.int32(0)
-        limit = 0
         it = 0
         for li in range(ir.meta.n_lights):
-            limit += targets[li]
+            base = int(count)
+            limit = base + targets[li]       # this light's own share
             stalls = 0
-            got = int(count)
+            got = base
+            emitted = 0
+            b = ladder[0]
             while got < limit:
                 k = jax.random.fold_in(key, 7919 * map_type + 31 * li + it)
                 it += 1
-                o, d = emit_photons(ir, li, k, batch, dtype)
+                o, d = emit_photons(ir, li, k, b, dtype)
                 power = jnp.broadcast_to(ir.light_intensity[li][None],
-                                         (batch, 3)).astype(dtype)
+                                         (b, 3)).astype(dtype)
                 pos, pw, dr, st = step_fn(map_type, o, d, power,
                                           jax.random.fold_in(k, 1))
                 bufs, count = append_stores(pos, pw, dr, st, bufs, count,
                                             jnp.int32(limit))
+                emitted += b
                 new_got = int(count)        # one scalar sync per batch
                 stalls = stalls + 1 if new_got == got else 0
                 got = new_got
-                if stalls > 64:
+                if stalls > 16:
                     break       # scene stores nothing (no diffuse surfaces)
+                b = pick_batch(limit - got, (got - base) / emitted)
         n_stored = int(count)
         if n_stored:
             pos = np.asarray(bufs[0][:n_stored])
@@ -343,10 +367,34 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
 # irradiance estimate (render-time query)
 # ---------------------------------------------------------------------------
 
+_QUERY_BLOCK = 16384
+
+
 def irradiance_estimate(pm: PhotonMap, points, eyev, num: int,
                         max_dist: float, cone_k: float):
     """pm_irradiance_estimate (pm.c:91-156) batched: returns (irrad (R,3),
-    found (R,))."""
+    found (R,)). Large query batches run as a lax.map over fixed-size
+    blocks so peak memory is O(BLOCK * cap) regardless of R or the
+    per-cell cap (which is exact — see build_photon_map)."""
+    R = points.shape[0]
+    if R > _QUERY_BLOCK:
+        pad = (-R) % _QUERY_BLOCK
+        if pad:
+            far = jnp.full((pad, 3), 1e30, points.dtype)
+            points = jnp.concatenate([points, far])
+            eyev = jnp.concatenate([eyev, jnp.ones((pad, 3), eyev.dtype)])
+        nb = points.shape[0] // _QUERY_BLOCK
+        irr, found = jax.lax.map(
+            lambda ab: _irradiance_block(pm, ab[0], ab[1], num, max_dist,
+                                         cone_k),
+            (points.reshape(nb, _QUERY_BLOCK, 3),
+             eyev.reshape(nb, _QUERY_BLOCK, 3)))
+        return irr.reshape(-1, 3)[:R], found.reshape(-1)[:R]
+    return _irradiance_block(pm, points, eyev, num, max_dist, cone_k)
+
+
+def _irradiance_block(pm: PhotonMap, points, eyev, num: int,
+                      max_dist: float, cone_k: float):
     R = points.shape[0]
     dtype = points.dtype
     dims = pm.dims
@@ -487,8 +535,10 @@ def final_gather(ir: SceneIR, rt, pm_global: PhotonMap, comps, key, cfg):
 
 
 def make_gi_hook(pmaps, cfg):
-    """The _gi_hook consumed by shade_direct (integrator.py): returns the
-    ambient-channel GI addition per shading point (clamp applied there)."""
+    """The RenderStatics.gi_hook consumed by shade_direct (integrator.py):
+    returns the ambient-channel GI addition per shading point (clamp
+    applied there). render.py attaches it via rt._replace after the
+    photon pass — the ConfigDesc itself is never mutated."""
     pm_caustic = pmaps.get(CAUSTIC)
     pm_global = pmaps.get(GLOBAL)
 

@@ -28,7 +28,7 @@ from fast_ray_tracer_tpu.render.camera import (
     build_camera, rays_for_pixels, sample_aperture,
 )
 from fast_ray_tracer_tpu.render.integrator import (
-    Triple, build_statics, color_at,
+    Triple, build_statics, color_at, trace_bucketed,
 )
 
 
@@ -113,7 +113,10 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                 caustic=cfg.include_caustics,
                 global_=cfg.include_final_gather)
         if shade_gi:
-            cfg._gi_hook = photon.make_gi_hook(pmaps, cfg)
+            # hook rides RenderStatics (NOT the caller's ConfigDesc —
+            # mutating cfg leaked a stale hook into later renders of the
+            # same SceneDesc)
+            rt = rt._replace(gi_hook=photon.make_gi_hook(pmaps, cfg))
 
     needs_rng = (cam.aperture.jitter or cam.aperture.kind not in
                  ("POINT_APERTURE", "HEXAGONAL_APERTURE",
@@ -135,11 +138,16 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
 
     # device-side static-bucket wavefront compaction
     # (integrator.trace_bucketed) is THE compacted path on every backend:
-    # a cheap probe measures per-level spawn counts, the render compiles
-    # with tight static buckets, and the overflow flag falls back to the
+    # ONE probe on the first chunk measures per-level spawn counts, the
+    # whole render compiles with shared static buckets, and overflow
+    # escalates the buckets once (recompile) before falling back to the
     # exact 2^depth unrolled trace. Scenes with no specular tree (and no
     # GI) skip compaction entirely — one level, nothing to compact.
     use_bucketed = ir.meta.has_reflective or ir.meta.has_refractive
+    from fast_ray_tracer_tpu.ops.intersect import (
+        mesh_shortlist, shortlist_worthwhile,
+    )
+    use_shortlist = shortlist_worthwhile(ir.meta)
 
     @partial(jax.jit, static_argnums=())
     def chunk_rays(px, py, chunk_key):
@@ -160,15 +168,6 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                              None if ap_key is None else ap_key, dtype)
         return rays_for_pixels(cam_rt, px_r, py_r, uv_r, ap)
 
-    @partial(jax.jit, static_argnums=())
-    def render_chunk(ir_in, px, py, chunk_key):
-        orig, dirs = chunk_rays(px, py, chunk_key)
-        ray_key = None
-        if chunk_key is not None:
-            ray_key = jax.random.fold_in(chunk_key, 1)
-        triple = color_at(ir_in, rt, orig, dirs, path_length, ray_key)
-        return _avg(triple)
-
     def _avg(triple):
         n = triple.a.shape[0] // S
         a = triple.a.reshape(n, S, 3).mean(axis=1)
@@ -176,7 +175,94 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         s = triple.s.reshape(n, S, 3).mean(axis=1)
         return (a + d + s) / 3.0
 
-    avg_jit = jax.jit(_avg)
+    # ---- single-device chunk programs ---------------------------------
+    # chunk_fns caches ONE compiled program per (buckets, shortlist)
+    # variant; remote compiles through the TPU tunnel cost tens of
+    # seconds, so the round-3 design (fresh bucket tuple + compile per
+    # chunk) dominated GI walls — now every chunk reuses the calibrated
+    # program and only overflow pays a second compile.
+    chunk_fns = {}
+    calib = {"buckets": None}
+
+    def _quantize(counts, margin):
+        return tuple(max(256, int(math.ceil(c * margin / 2048)) * 2048)
+                     for c in counts)
+
+    def probe_counts(ir_in, px, py, ck):
+        if "probe" not in chunk_fns:
+            from fast_ray_tracer_tpu.render.integrator import spawn_counts
+
+            def p(i, px_c, py_c, k):
+                o, d = chunk_rays(px_c, py_c, k)
+                rk = None if k is None else jax.random.fold_in(k, 1)
+                return spawn_counts(i, rt, o, d, path_length, rk)
+            chunk_fns["probe"] = jax.jit(p)
+        return [int(x) for x in chunk_fns["probe"](ir_in, px, py, ck)]
+
+    def chunk_fn(buckets, shortlist):
+        kk = (buckets, shortlist)
+        if kk in chunk_fns:
+            return chunk_fns[kk]
+
+        def f(ir_in, px_c, py_c, ck, _b=buckets, _s=shortlist):
+            orig, dirs = chunk_rays(px_c, py_c, ck)
+            ray_key = None if ck is None else jax.random.fold_in(ck, 1)
+            import contextlib
+            cm = mesh_shortlist() if _s else contextlib.nullcontext()
+            with cm as sink:
+                if use_bucketed:
+                    tr, b_ovf = trace_bucketed(ir_in, rt, orig, dirs,
+                                               path_length, ray_key,
+                                               list(_b))
+                else:
+                    tr = color_at(ir_in, rt, orig, dirs, path_length,
+                                  ray_key)
+                    b_ovf = jnp.bool_(False)
+                m_ovf = sink.combined() if sink is not None \
+                    else jnp.bool_(False)
+            return _avg(tr), b_ovf, m_ovf
+        chunk_fns[kk] = jax.jit(f)
+        return chunk_fns[kk]
+
+    def exact_chunk(ir_in, px, py, ck):
+        if "exact" not in chunk_fns:
+            def g(i, px_c, py_c, k):
+                o, d = chunk_rays(px_c, py_c, k)
+                rk = None if k is None else jax.random.fold_in(k, 1)
+                return _avg(color_at(i, rt, o, d, path_length, rk))
+            chunk_fns["exact"] = jax.jit(g)
+        return np.asarray(chunk_fns["exact"](ir_in, px, py, ck))
+
+    def render_chunk_single(ir_in, px, py, ck):
+        if use_bucketed and calib["buckets"] is None:
+            with timer.phase("probe_buckets"):
+                calib["buckets"] = _quantize(
+                    probe_counts(ir_in, px, py, ck), 1.35)
+        buckets = calib["buckets"] if use_bucketed else ()
+        res, b_ovf, m_ovf = jax.device_get(
+            chunk_fn(buckets, use_shortlist)(ir_in, px, py, ck))
+        if b_ovf:
+            # exact per-level counts for THIS chunk; the escalated
+            # buckets become the shared program for the rest of the run
+            esc = _quantize(probe_counts(ir_in, px, py, ck), 1.2)
+            buckets = tuple(max(a, b) for a, b in zip(buckets, esc))
+            calib["buckets"] = buckets
+            print(f"bucket overflow: recalibrated to {buckets}",
+                  flush=True)
+            res, b_ovf, m_ovf = jax.device_get(
+                chunk_fn(buckets, use_shortlist)(ir_in, px, py, ck))
+        if m_ovf and not b_ovf:
+            # some mesh ray unsettled within the shortlist rounds: the
+            # full-fold program re-renders this chunk exactly
+            res, b_ovf, _ = jax.device_get(
+                chunk_fn(buckets, False)(ir_in, px, py, ck))
+        if b_ovf:
+            # probe ceiling exceeded (spawns > 3x primary): never
+            # silent — the unrolled exact path re-renders the chunk
+            print(f"bucket overflow persists (buckets={buckets}): chunk "
+                  "re-rendered on the exact unrolled path", flush=True)
+            res = exact_chunk(ir_in, px, py, ck)
+        return res
 
     # ---- multi-device sharded chunk path (mesh is not None) -----------
     sharded_fns = {}
@@ -244,11 +330,15 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
 
         px_g, py_g = put_batch(px, py)
         if use_bucketed:
-            counts = np.asarray(
-                sharded_fns["probe"](ir_in, px_g, py_g, chunk_key))
-            buckets = tuple(
-                max(256, int(math.ceil(c * 1.15 / 1024)) * 1024)
-                for c in counts)
+            # one calibration for the whole render (first chunk + 1.35
+            # margin), like the single-device path
+            if "buckets" not in sharded_fns:
+                counts = np.asarray(
+                    sharded_fns["probe"](ir_in, px_g, py_g, chunk_key))
+                sharded_fns["buckets"] = tuple(
+                    max(256, int(math.ceil(c * 1.35 / 1024)) * 1024)
+                    for c in counts)
+            buckets = sharded_fns["buckets"]
         else:
             buckets = ()
 
@@ -282,41 +372,6 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             res = sharded_fns["exact"](ir_in, px_g, py_g, chunk_key)
         return fetch(res)
 
-    bucketed_fns = {}
-
-    def render_chunk_bucketed(ir_in, px, py, chunk_key):
-        """Device-side static-bucket compaction (TPU): probe the chunk's
-        per-level spawn counts once, compile a tight-bucket program, and
-        fall back to the exact path if the overflow flag fires."""
-        from fast_ray_tracer_tpu.render.integrator import (
-            spawn_counts, trace_bucketed,
-        )
-        orig, dirs = chunk_rays(px, py, chunk_key)
-        ray_key = None
-        if chunk_key is not None:
-            ray_key = jax.random.fold_in(chunk_key, 1)
-        if "probe" not in bucketed_fns:
-            bucketed_fns["probe"] = jax.jit(
-                lambda i, o, d, k: spawn_counts(i, rt, o, d, path_length, k))
-        counts = [int(x) for x in
-                  bucketed_fns["probe"](ir_in, orig, dirs, ray_key)]
-        buckets = tuple(max(256, int(math.ceil(c * 1.15 / 2048)) * 2048)
-                        for c in counts)
-        if buckets not in bucketed_fns:
-            def f(i, o, d, k, _b=buckets):
-                tr, ovf = trace_bucketed(i, rt, o, d, path_length, k,
-                                         list(_b))
-                return tr, ovf
-            bucketed_fns[buckets] = jax.jit(f)
-        triple, ovf = bucketed_fns[buckets](ir_in, orig, dirs, ray_key)
-        if bool(ovf):
-            # never silent: overflow means the probe's margin was too
-            # tight for this chunk — the exact path re-renders it
-            print(f"bucket overflow (buckets={buckets}): chunk re-rendered "
-                  "on the exact unrolled path", flush=True)
-            triple = color_at(ir_in, rt, orig, dirs, path_length, ray_key)
-        return avg_jit(triple)
-
     total = W * H
     if mesh is not None:
         ndev = int(np.prod(mesh.devices.shape))
@@ -345,10 +400,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
         py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
         ck = None if key is None else jax.random.fold_in(key, c)
-        if mesh is not None:
-            fn = render_chunk_sharded
-        else:
-            fn = render_chunk_bucketed if use_bucketed else render_chunk
+        fn = render_chunk_sharded if mesh is not None \
+            else render_chunk_single
         res = fn(ir, jnp.asarray(px), jnp.asarray(py), ck)
         out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
         if checkpoint_path is not None and (

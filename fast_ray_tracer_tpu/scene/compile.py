@@ -616,6 +616,16 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
     # containers walk run over the dense table), so meshes inside csg
     # trees stay unclustered regardless of size
     use_clusters = nt >= 2048 and all(c < 0 for c in tri_csg_l)
+    if nt >= 8192 and not use_clusters:
+        # an OBJ mesh inside a CSG tree disables clustering for ALL scene
+        # triangles: the dense (rays x hits) candidate table plus the
+        # per-group shadow filter scale O(R*Nt) in memory and compile
+        # time — fine for the few-thousand-triangle CSG meshes the
+        # reference ships, pathological beyond that
+        print(f"warning: {nt} triangles stay UNCLUSTERED because an OBJ "
+              "mesh is a CSG child; dense candidate tables scale "
+              "O(rays*triangles) — expect high memory/compile cost",
+              flush=True)
     if use_clusters:
         centroid = tri_p1 + (tri_e1 + tri_e2) / 3.0
         order_t = _morton_order(centroid)

@@ -135,6 +135,9 @@ def _face_token(tok: str) -> Tuple[int, int, int]:
     return v, t, n
 
 
+_GEO_CACHE: Dict[Tuple[str, float], object] = {}
+
+
 class _Geometry:
     """Raw OBJ scan result; same layout as native.ObjGeometry."""
 
@@ -226,10 +229,20 @@ def load_obj_into(shape, m_world: np.ndarray, tables, csg_id: int,
     if path is None:
         raise FileNotFoundError(f"obj not found: {shape.file}")
 
-    from fast_ray_tracer_tpu import native
-    geo = native.parse_obj(path) if native.available() else None
+    # parse-result dedup for repeated `add: obj` of the same file (the
+    # reference reuses the first parse via shape_copy,
+    # yaml_parser/obj_parser.py:31-32): the raw geometry scan is cached
+    # per (path, mtime) and used read-only — transforms/materials are
+    # applied per instance below, so instanced scenes stay correct while
+    # the host-side scan cost stays flat
+    ckey = (path, os.path.getmtime(path))
+    geo = _GEO_CACHE.get(ckey)
     if geo is None:
-        geo = _scan_obj_python(path)
+        from fast_ray_tracer_tpu import native
+        geo = native.parse_obj(path) if native.available() else None
+        if geo is None:
+            geo = _scan_obj_python(path)
+        _GEO_CACHE[ckey] = geo
 
     # replay the mtllib/usemtl event stream exactly as the inline scan
     # did: mtllib extends the material dict; usemtl switches only when the
@@ -239,7 +252,16 @@ def load_obj_into(shape, m_world: np.ndarray, tables, csg_id: int,
     cur_mat: Optional[MaterialDesc] = None
     for typ, arg in geo.events:
         if typ == "m":
+            # resolve relative to the scene root (reference CWD
+            # semantics), falling back to the OBJ's own directory — the
+            # reference resolves mtllib ONLY against its CWD
+            # (obj_loader.c:139-213), which leaves e.g.
+            # CornellBox-Water.mtl unfindable from any directory the
+            # scene itself loads from; the obj-dir fallback is the
+            # documented intentional fix
             mp = _mtl_path(arg, tables.root_dir)
+            if mp is None:
+                mp = _mtl_path(arg, os.path.dirname(path))
             if mp is not None:
                 mtl_mats.update(parse_mtl(mp, tables.decode,
                                           tables.root_dir))

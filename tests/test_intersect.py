@@ -152,6 +152,46 @@ def test_nested_group_world_to_object_equivalent():
     assert np.allclose(ts, [8.0, 12.0], atol=1e-9)
 
 
+def refraction_indices(t_sorted, prim_sorted, t_hit, prim_ni):
+    """Test oracle: the straightforward top_k-based "containers" walk
+    (renderer.c:406-447) the production sort-free containers_n1_n2
+    replaced. For the hit at t_hit: an object is inside-the-containers
+    iff it has an odd number of intersections strictly before the hit in
+    sorted order; n1 is the Ni of the inside object with the *latest*
+    pre-hit intersection; n2 repeats with the hit included. The walk
+    covers ALL intersections (negative t included)."""
+    import jax.numpy as jnp
+    R, K = t_sorted.shape
+    valid = jnp.isfinite(t_sorted)
+    is_hit = valid & (t_sorted == t_hit[:, None])
+    hit_k = jnp.argmax(is_hit, axis=-1)
+    jj = jnp.arange(K)[:, None]                          # j (other entry)
+    kk = jnp.arange(K)[None, :]                          # k (query entry)
+    same = (prim_sorted[:, :, None] == prim_sorted[:, None, :]) \
+        & valid[:, :, None] & valid[:, None, :]          # (R,K,K) [j,k]
+    occ_before = jnp.sum(same & (jj < kk)[None], axis=1)          # (R,K)
+    nxt = jnp.min(jnp.where(same & (jj > kk)[None],
+                            jnp.broadcast_to(jj[None], same.shape), K),
+                  axis=1)                                          # (R,K)
+    even_before = (occ_before % 2) == 0
+    k_idx = jnp.arange(K)[None, :]
+
+    def last_inside_ni(limit_excl):
+        in_walk = k_idx < limit_excl[:, None]            # (R,K): k < L
+        active = valid & in_walk & even_before \
+            & (nxt >= limit_excl[:, None])
+        best = jnp.max(jnp.where(active, k_idx, -1), axis=-1)
+        any_active = best >= 0
+        prim_at = jnp.take_along_axis(prim_sorted,
+                                      jnp.maximum(best, 0)[:, None], 1)[:, 0]
+        ni = prim_ni[jnp.clip(prim_at, 0, prim_ni.shape[0] - 1)]
+        return jnp.where(any_active, ni, 1.0)
+
+    n1 = last_inside_ni(hit_k)
+    n2 = last_inside_ni(hit_k + 1)
+    return n1, n2
+
+
 def test_containers_walk_equivalence():
     """containers_n1_n2 (sort-free, per-prim parity) must reproduce the
     top_k-based refraction_indices walk on randomized candidate lists."""
@@ -160,7 +200,6 @@ def test_containers_walk_equivalence():
     from fast_ray_tracer_tpu.ops.intersect import (
         containers_n1_n2, slot_tables, sorted_hits,
     )
-    from fast_ray_tracer_tpu.render.integrator import refraction_indices
     from fast_ray_tracer_tpu.scene import ir as IR
 
     class Meta:

@@ -24,6 +24,28 @@ if [ ! -d "$REFB/src" ]; then
 fi
 cd "$REFB"
 
+# CornellBox-Water.obj ships with CRLF line endings; the reference's
+# fan_triangulation (obj_loader.c:262-316) tokenizes the trailing "\r\n"
+# of "f v/t/n ... \r\n" lines as a vertex, sscanf fails, index 0-1 = -1
+# reads out of bounds -> segfault. Normalize the writable copy so the
+# reference binary can render its own scene (our loader tolerates CRLF).
+if grep -q $'\r' "$REFB/scenes/cornell_box/CornellBox-Water.obj" 2>/dev/null; then
+  sed -i 's/\r$//' "$REFB/scenes/cornell_box/CornellBox-Water.obj" \
+                   "$REFB/scenes/cornell_box/CornellBox-Water.mtl" || true
+fi
+# Second reference bug: its parse_mtl opens `mtllib` paths relative to the
+# binary's CWD (obj_loader.c:139-213), but the scene references the obj as
+# scenes/cornell_box/CornellBox-Water.obj whose mtllib is the bare file
+# name — no CWD satisfies both, so the reference silently renders every
+# surface with the default white material (and then the caustic photon
+# loop never stores -> infinite loop). Absolutize the mtllib line in the
+# writable copy so the reference loads the real water/glass materials.
+if grep -q "^mtllib CornellBox-Water.mtl" \
+     "$REFB/scenes/cornell_box/CornellBox-Water.obj" 2>/dev/null; then
+  sed -i "s|^mtllib CornellBox-Water.mtl|mtllib $REFB/scenes/cornell_box/CornellBox-Water.mtl|" \
+    "$REFB/scenes/cornell_box/CornellBox-Water.obj"
+fi
+
 # ---- 2. compile the C library once ------------------------------------
 # core_select.c is macOS-only dead code (SURVEY.md: core_select); skip it.
 if [ ! -f libray.a ]; then
@@ -85,6 +107,8 @@ declare -A SCENES=(
   [csg_obj_test]=scenes_reduced/csg_obj_test.yml
   [glamour_small]=scenes_reduced/glamour_small.yml
   [bbox_tiny]=scenes_reduced/bbox_tiny.yml
+  [water_small]=scenes_reduced/water_small.yml
+  [water_caustic_small]=scenes_reduced/water_caustic_small.yml
   [cornell_small]=scenes_reduced/cornell_small.yml
   [cornell_direct]=scenes_reduced/cornell_direct.yml
   [lens_small]=scenes_reduced/lens_small.yml
@@ -103,6 +127,7 @@ else
          align_check_plane group_test reflect_refract_test test
          texture_map_test spec_map_test bump_map_test csg_test csg_obj_test
          reflect_refract area_light_test teapot glamour_small bbox_tiny
+         water_small water_caustic_small
          cornell_direct cornell_small lens_small skybox_small
          orrery_small mtl_test dof_small cover_small)
 fi

@@ -127,6 +127,27 @@ def main(out_dir):
     cfg["illumination"]["global-illumination"]["photon-count"] = 0
     dump(t, out_dir, "cornell_direct.yml")
 
+    # water_small: cornell_box_water — 7.1k-triangle clustered OBJ mesh
+    # with refractive water/glass materials (Ni 1.5/2.5 -> the containers
+    # n1/n2 walk must run over clustered-mesh hits). Deterministic
+    # variant: GI off, 1x1 sampling -> bitwise.
+    t = load("scenes/cornell_box/cornell_box_water.yml")
+    set_camera(t, width=150, height=120, usteps=1, vsteps=1)
+    absolutize_files(t)
+    cfg = config(t)
+    cfg["illumination"]["include-global"] = False
+    cfg["illumination"]["global-illumination"]["photon-count"] = 0
+    set_output(t, "/tmp/golden_out")
+    dump(t, out_dir, "water_small.yml")
+
+    # water_caustic_small: same scene with the caustic photon map on
+    # (10k photons through the water surface) -> statistical.
+    t = load("scenes/cornell_box/cornell_box_water.yml")
+    set_camera(t, width=100, height=80, usteps=1, vsteps=1)
+    absolutize_files(t)
+    set_output(t, "/tmp/golden_out")
+    dump(t, out_dir, "water_caustic_small.yml")
+
     # bbox_tiny: bounding_boxes (141k-triangle dragons) at 150x60.
     t = load("scenes/bounding_boxes/bounding_boxes.yml")
     set_camera(t, width=150, height=60)
