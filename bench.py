@@ -177,20 +177,27 @@ def utilization(jitted, args, wall_s):
         byts = float(ca.get("bytes accessed", 0.0))
         kind = jax.devices()[0].device_kind
         peak = None
-        for k, v in _HBM_PEAK_GBPS.items():
-            if kind.lower().startswith(k.lower()) or k.lower() in kind.lower():
-                peak = v
+        # longest key first: "TPU v5 lite" must win over "TPU v5"
+        for k in sorted(_HBM_PEAK_GBPS, key=len, reverse=True):
+            if k.lower() in kind.lower():
+                peak = _HBM_PEAK_GBPS[k]
                 break
         out = {
             "device_kind": kind,
             "program_gflops": round(flops / 1e9, 2),
-            "program_gbytes": round(byts / 1e9, 3),
+            # NOTE: XLA cost analysis counts LOGICAL bytes accessed
+            # (pre-fusion); actual HBM traffic is lower by the fusion
+            # factor, so logical_bytes/s / hbm_peak > 1 means the
+            # program would be impossible without operator fusion —
+            # an upper bound on HBM pressure, not a utilization claim
+            "program_logical_gbytes": round(byts / 1e9, 3),
             "achieved_gflop_s": round(flops / wall_s / 1e9, 1),
-            "achieved_hbm_gb_s": round(byts / wall_s / 1e9, 1),
+            "logical_bytes_gb_s": round(byts / wall_s / 1e9, 1),
         }
         if peak:
             out["hbm_peak_gb_s"] = peak
-            out["hbm_utilization"] = round(byts / wall_s / 1e9 / peak, 3)
+            out["logical_to_hbm_peak_ratio"] = round(
+                byts / wall_s / 1e9 / peak, 2)
         return out
     except Exception as e:            # cost analysis is best-effort
         return {"error": f"{type(e).__name__}: {e}"}

@@ -598,18 +598,55 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, order_fn, init_fn,
             return acc, jnp.any(unsettled)
         return acc, jnp.bool_(False)
 
-    out, unsettled = jax.vmap(block)(orig_b, dirs_b, *extra_b)
+    # memory guard: the vmapped fold materializes (rays x K*C) Möller-
+    # Trumbore intermediates per round; big ray batches (large render
+    # chunks, adaptive photon batches) are serialized over groups of
+    # blocks with lax.map so peak memory stays ~GROUP*B*K*C floats
+    # regardless of R. The TPU budget is set high enough that normal
+    # render chunks / photon batches never trigger the map — a program
+    # whose mesh fold sat under lax.map reproducibly killed the TPU
+    # worker on its SECOND execution (chunk 1 fine, chunk 2 "worker
+    # crashed / kernel fault"), the same runtime-bug family as round 3's
+    # while_loop early exit; CPU keeps the tight budget (f64 goldens
+    # with million-ray photon batches genuinely need the bound)
+    itemsize = jnp.dtype(orig.dtype).itemsize
+    budget = 1.5e9 if jax.default_backend() == "cpu" else 12e9
+    group = max(1, int(budget / max(1, B * K * C * itemsize * 4)))
+    if nblk <= group:
+        out, unsettled = jax.vmap(block)(orig_b, dirs_b, *extra_b)
+    else:
+        pad_g = (-nblk) % group
+        if pad_g:
+            padder = lambda a, fill: jnp.concatenate(
+                [a, jnp.full((pad_g,) + a.shape[1:], fill, a.dtype)])
+            orig_b = padder(orig_b, _DEAD_ORIGIN)
+            dirs_b = padder(dirs_b, jnp.ones((), dirs.dtype))
+            extra_b = tuple(padder(e, 0) for e in extra_b)
+        ng = orig_b.shape[0] // group
+        gr = lambda a: a.reshape(ng, group, *a.shape[1:])
+        out, unsettled = jax.lax.map(
+            lambda args: jax.vmap(block)(*args),
+            (gr(orig_b), gr(dirs_b), *map(gr, extra_b)))
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape(ng * group, *a.shape[2:])[:nblk], out)
+        unsettled = unsettled.reshape(-1)[:nblk]
     if sink is not None and run_rounds < n_rounds:
         sink.flags.append(jnp.any(unsettled))
     return jax.tree_util.tree_map(
-        lambda a: a.reshape(nblk * B, *a.shape[2:])[:R], out)
+        lambda a: a.reshape(-1, *a.shape[2:])[:R]
+        if a.ndim > 2 else a.reshape(-1)[:R], out)
 
 
-def mesh_closest(ir: SceneIR, orig, dirs):
+def mesh_closest(ir: SceneIR, orig, dirs, keep=None):
     """Nearest positive triangle hit over the clustered mesh:
     (t (R,), tri_index (R,)); misses are t=inf. Clusters stream
     near-to-far (block-min entry t); a ray is settled once its best t is
-    at or below every remaining cluster's entry t."""
+    at or below every remaining cluster's entry t.
+
+    `keep`: optional (Nt,) bool — triangles to consider; the photon
+    pass's `hit(xs, /*filter_shadow_casters*/true)` (photon_tracer.c:190)
+    needs the nearest CASTING hit, i.e. non-casting triangles are
+    transparent to the query, not ray-killing."""
     def order(mask, entry):
         return jnp.min(entry, axis=0), entry
 
@@ -618,6 +655,8 @@ def mesh_closest(ir: SceneIR, orig, dirs):
                 jnp.zeros((B,), jnp.int32))
 
     def chunk(tri_idx, tpos):
+        if keep is not None:
+            tpos = jnp.where(keep[tri_idx][None], tpos, jnp.inf)
         tmin = jnp.min(tpos, axis=-1)
         idx = tri_idx[jnp.argmin(tpos, axis=-1)].astype(jnp.int32)
         return tmin, jnp.where(jnp.isfinite(tmin), idx, 0)

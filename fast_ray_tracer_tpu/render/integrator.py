@@ -120,9 +120,8 @@ def closest_query(ir: SceneIR, rt: RenderStatics, orig, dirs,
     hit = closest_hit(t_cand, rt.slot_prim, mask=mask)
     if not meta.use_clusters:
         return hit, t_cand
-    t_m, idx_m = mesh_closest(ir, orig, dirs)
-    if shadow_filter:
-        t_m = jnp.where(rt.tri_shadow[idx_m], t_m, jnp.inf)
+    t_m, idx_m = mesh_closest(ir, orig, dirs,
+                              keep=rt.tri_shadow if shadow_filter else None)
     use_m = t_m < hit.t
     return Hit(valid=hit.valid | jnp.isfinite(t_m),
                t=jnp.where(use_m, t_m, hit.t),
@@ -224,9 +223,11 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
         n1 = jnp.ones_like(t)
         n2 = jnp.ones_like(t)
 
-    # material map sampling at over_point (renderer.c:449-494)
+    # material map sampling at over_point (renderer.c:449-494); slots
+    # with no pattern anywhere in the scene (meta.pattern_slots, static)
+    # skip the per-lane pattern evaluation entirely
     def slot_color(slot, const):
-        if not meta.any_patterns:
+        if not meta.any_patterns or slot not in meta.pattern_slots:
             return const
         pid = ir.mat_map[mat, slot]
         patc = eval_pattern(ir, pid, ctx, over_point)
@@ -423,6 +424,13 @@ def shade_direct(ir: SceneIR, rt: RenderStatics, comps: Comps, key) -> Triple:
     surface = Triple.zeros(R, dtype)
 
     if cfg.include_direct:
+        # `anchor` is the shading point routed through each light's
+        # optimization barrier: on clustered scenes it sequences the
+        # per-light shadow folds — without the barrier XLA overlaps
+        # every fold's (blocks x B x Nc) mask/bound temps and the
+        # multi-light program blows device memory (spills, then OOM)
+        anchor = comps.over_point
+        seq = ir.meta.use_clusters and ir.meta.n_lights > 1
         for li in range(ir.meta.n_lights):
             k1 = k2 = None
             if key is not None:
@@ -430,16 +438,19 @@ def shade_direct(ir: SceneIR, rt: RenderStatics, comps: Comps, key) -> Triple:
             typ = ir.meta.light_info[li][0]
             if typ in (IR.LIGHT_POINT, IR.LIGHT_HEMISPHERE):
                 pts = _light_sample_points(ir, li, R, None)
-                shadowed = is_shadowed(ir, rt, pts, comps.over_point,
-                                       comps.valid)
+                shadowed = is_shadowed(ir, rt, pts, anchor, comps.valid)
                 intensity = 1.0 - shadowed[:, 0].astype(dtype)
                 light_pts = pts
             else:
-                intensity, _ = intensity_at(ir, rt, li, comps.over_point,
+                intensity, _ = intensity_at(ir, rt, li, anchor,
                                             k1, comps.valid)
                 light_pts = _light_sample_points(ir, li, R, k2)
             surface = surface + lighting_microfacet(
                 ir, rt, comps, li, light_pts, intensity)
+            if seq:
+                a, d_, s, anchor = jax.lax.optimization_barrier(
+                    (surface.a, surface.d, surface.s, anchor))
+                surface = Triple(a, d_, s)
 
     # GI (photon map) terms attach here — see render/photon.py
     gi_hook = rt.gi_hook
@@ -579,6 +590,11 @@ def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
             break
         cur_o = jnp.concatenate(children_o, axis=0)
         cur_d = jnp.concatenate(children_d, axis=0)
+        if ir.meta.use_clusters:
+            # sequence levels on clustered scenes (see trace_bucketed)
+            da, dd, ds, cur_o, cur_d = jax.lax.optimization_barrier(
+                (direct.a, direct.d, direct.s, cur_o, cur_d))
+            levels[-1] = (comps, Triple(da, dd, ds))
 
     # combine upward
     child_total: Optional[Triple] = None
@@ -681,6 +697,13 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         pad_d = jnp.concatenate([src_d, jnp.ones((1, 3), dtype)])
         cur_o = pad_o[idx]
         cur_d = pad_d[idx]
+        if ir.meta.use_clusters:
+            # sequence wavefront levels on clustered scenes (see
+            # shade_direct): level L's fold temps must be dead before
+            # level L+1's folds start, or buffer lifetimes stack
+            da, dd, ds, cur_o, cur_d = jax.lax.optimization_barrier(
+                (direct.a, direct.d, direct.s, cur_o, cur_d))
+            entry["direct"] = Triple(da, dd, ds)
 
     child_total: Optional[Triple] = None
     for lvl in range(len(levels) - 1, -1, -1):

@@ -282,7 +282,19 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
     total_l = sum(L_vals) or 1.0
     targets = [int(num_photons * l / total_l) for l in L_vals]
     total_target = sum(targets)
-    ladder = (batch,) if batch else _BATCH_LADDER
+    if batch:
+        ladder = (batch,)
+    elif jax.default_backend() == "cpu":
+        # host-CPU runs (tests, golden parity) keep batches small: a
+        # 1M-photon bounce over a clustered mesh is minutes of 2-core
+        # f64 work; the big rungs exist for the TPU
+        ladder = _BATCH_LADDER[:2]
+    elif ir.meta.use_clusters:
+        # keep clustered-mesh folds under the no-lax.map budget
+        # (ops/intersect._mesh_gather_reduce)
+        ladder = tuple(b for b in _BATCH_LADDER if b <= 65536)
+    else:
+        ladder = _BATCH_LADDER
 
     step_fn = jax.jit(partial(photon_bounce_wave, ir, rt),
                       static_argnums=(0,))

@@ -234,10 +234,6 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         return np.asarray(chunk_fns["exact"](ir_in, px, py, ck))
 
     def render_chunk_single(ir_in, px, py, ck):
-        if use_bucketed and calib["buckets"] is None:
-            with timer.phase("probe_buckets"):
-                calib["buckets"] = _quantize(
-                    probe_counts(ir_in, px, py, ck), 1.35)
         buckets = calib["buckets"] if use_bucketed else ()
         res, b_ovf, m_ovf = jax.device_get(
             chunk_fn(buckets, use_shortlist)(ir_in, px, py, ck))
@@ -373,6 +369,14 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         return fetch(res)
 
     total = W * H
+    if ir.meta.use_clusters:
+        # clustered-mesh programs hold (blocks x B x Nc) and
+        # (blocks x B x K*C) fold temps per level per light; beyond
+        # ~8k-pixel chunks the composed program OOMs device memory /
+        # faults the remote TPU worker, so cap the chunk (and scale down
+        # with per-light shadow samples)
+        cap = max(2048, 8192 // max(1, ir.meta.max_light_samples // 4))
+        chunk_pixels = min(chunk_pixels, cap)
     if mesh is not None:
         ndev = int(np.prod(mesh.devices.shape))
         chunk_pixels = -(-chunk_pixels // ndev) * ndev   # divisible shards
@@ -380,6 +384,30 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     ys = np.repeat(np.arange(H, dtype=np.int32), W)
     out = np.zeros((total, 3), dtype=np.float64)
     n_chunks = math.ceil(total / chunk_pixels)
+
+    def chunk_arrays(c):
+        lo = c * chunk_pixels
+        hi = min(lo + chunk_pixels, total)
+        # pad the tail chunk to the fixed chunk size (one compiled
+        # program for every chunk)
+        pad = chunk_pixels - (hi - lo)
+        px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
+        py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
+        ck = None if key is None else jax.random.fold_in(key, c)
+        return jnp.asarray(px), jnp.asarray(py), ck
+
+    if use_bucketed and mesh is None:
+        # ONE bucket calibration for the whole render: max per-level
+        # spawn counts over three sampled chunks (first/middle/last —
+        # the top of the image is often background and alone would
+        # under-size every bucket), 1.35x margin, shared by every chunk.
+        # The round-3 design probed and potentially recompiled per chunk
+        # — the recompiles dominated the Cornell GI wall.
+        with timer.phase("probe_buckets"):
+            samples = sorted({0, n_chunks // 2, n_chunks - 1})
+            counts = [probe_counts(ir, *chunk_arrays(c)) for c in samples]
+            calib["buckets"] = _quantize(
+                [max(v) for v in zip(*counts)], 1.35)
     start_chunk = 0
     if checkpoint_path is not None:
         from fast_ray_tracer_tpu.parallel.checkpoint import (
@@ -395,14 +423,9 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     for c in range(start_chunk, n_chunks):
         lo = c * chunk_pixels
         hi = min(lo + chunk_pixels, total)
-        # pad the tail chunk to the fixed chunk size (one compiled program)
-        pad = chunk_pixels - (hi - lo)
-        px = np.concatenate([xs[lo:hi], np.zeros(pad, np.int32)])
-        py = np.concatenate([ys[lo:hi], np.zeros(pad, np.int32)])
-        ck = None if key is None else jax.random.fold_in(key, c)
         fn = render_chunk_sharded if mesh is not None \
             else render_chunk_single
-        res = fn(ir, jnp.asarray(px), jnp.asarray(py), ck)
+        res = fn(ir, *chunk_arrays(c))
         out[lo:hi] = np.asarray(res[: hi - lo], np.float64)
         if checkpoint_path is not None and (
                 (c + 1) % checkpoint_every == 0 or c + 1 == n_chunks):

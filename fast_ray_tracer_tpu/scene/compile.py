@@ -805,6 +805,8 @@ def compile_scene(scene: SceneDesc, dtype=jnp.float32) -> SceneIR:
         max_hits=min(64, max(2, n_hit_slots)),
         any_patterns=bool((mat_map >= 0).any()),
         any_bump=bool((mat_map[:, IR.SLOT_BUMP] >= 0).any()),
+        pattern_slots=tuple(int(s) for s in range(mat_map.shape[1])
+                            if bool((mat_map[:, s] >= 0).any())),
         pattern_kinds=pattern_kinds,
         map_kinds=tuple(sorted({int(r["map_kind"]) for r in tables.p_rows
                                 if r["type"] == IR.PAT_MAP})),

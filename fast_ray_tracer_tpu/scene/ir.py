@@ -74,6 +74,10 @@ class SceneMeta:
     # pattern slots present anywhere (skip pattern machinery when unused)
     any_patterns: bool = False
     any_bump: bool = False
+    # material-map columns with ANY pattern bound (static): slot_color
+    # evaluates patterns only for these columns — a scene whose materials
+    # pattern only Ka/Kd skips the 6 other per-lane pattern evals
+    pattern_slots: Tuple[int, ...] = ()
     # pattern type ids present in the scene: lets the evaluator prune whole
     # sub-graphs (combinator recursion, perlin unrolls, texture gathers)
     pattern_kinds: Tuple[int, ...] = ()
