@@ -202,23 +202,43 @@ def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
     return pos, pw, dr, st
 
 
+P_PACK = 14      # photons per packed gather row (9*14 = 126 of 128 cols)
+_ROW_W = 128     # TPU gathers run at a fixed ~0.33G rows/s regardless of
+                 # row width up to 128 floats (measured on v5e), so one
+                 # 128-wide row delivering 14 complete photon records
+                 # costs the same as gathering one xyz triple
+
+
 class PhotonMap(NamedTuple):
-    """Grid-bucketed photon storage (device) + static grid geometry."""
-    pos: jnp.ndarray         # (N,3) sorted by cell
-    power: jnp.ndarray       # (N,3)
-    inc_dir: jnp.ndarray     # (N,3) direction of travel at the hit
-    cell_start: jnp.ndarray  # (n_cells+1,) i32 CSR offsets
+    """Grid-bucketed photon storage (device) + static grid geometry.
+
+    Layout is built for TPU gather economics: photons are cell-sorted
+    and PACKED 14-per-row into a (rows, 128) table — row r holds
+    [x*14 | y*14 | z*14 | px*14 | py*14 | pz*14 | dx*14 | dy*14 | dz*14]
+    so one row gather yields 14 complete (pos, power, inc_dir) records.
+    Cells denser than `cap0` photons spill their surplus into the dense
+    `ovf_*` arrays, folded against every query with broadcast arithmetic
+    (no gather) — nothing is ever hidden from queries."""
+    packed: jnp.ndarray      # (rows, 128) cell-sorted packed records
+    row_start: jnp.ndarray   # (n_cells+1,) i32 CSR offsets in ROW units
+    cap_rows: int            # per-cell row budget = ceil(cap0 / P_PACK)
+    ovf_pos: jnp.ndarray     # (N_ovf,3) spill photons (dense fold)
+    ovf_power: jnp.ndarray
+    ovf_dir: jnp.ndarray
     grid_origin: Tuple[float, float, float]
     cell_size: float
     dims: Tuple[int, int, int]
-    cap: int                 # per-cell gather budget
     n: int
 
 
 def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
                      radius: float, dtype) -> Optional[PhotonMap]:
     """Host-side grid build: cell edge = search radius so a query touches
-    exactly the 27 neighboring cells."""
+    exactly the 27 neighboring cells. Exact coverage: main rows hold each
+    cell's first `cap0` photons (99th-percentile cap), the rest spill to
+    the dense overflow list — hides 0 photons (the round-3 percentile
+    clamp silently dropped ~2.4% of Cornell photons in exactly the
+    over-dense cells where caustic energy concentrates)."""
     n = len(pos)
     if n == 0:
         return None
@@ -229,27 +249,59 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
                       dims - 1)
     cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
     order = np.argsort(cid, kind="stable")
-    cid = cid[order]
+    pos, power, dirs, cid = pos[order], power[order], dirs[order], cid[order]
     n_cells = int(dims[0] * dims[1] * dims[2])
     counts = np.bincount(cid, minlength=n_cells)
     start = np.zeros(n_cells + 1, np.int64)
     np.cumsum(counts, out=start[1:])
-    # EXACT cap: every stored photon is visible to queries (the round-3
-    # 99.5th-percentile clamp hid ~2.4% of Cornell photons in exactly the
-    # over-dense cells where caustic energy concentrates — the reference
-    # kd-tree loses nothing, pm.c:163-252). Query memory stays bounded by
-    # irradiance_estimate's fixed query-block lax.map, not by the cap.
-    cap = int(counts.max()) if len(counts) else 0
-    print(f"photon grid: {n} photons, per-cell cap {cap} (exact — "
-          "hides 0 photons)", flush=True)
+
+    occ = counts[counts > 0]
+    cap0 = int(min(int(counts.max()),
+                   max(P_PACK, int(np.ceil(np.percentile(occ, 99))))))
+    within = np.arange(n) - start[cid]            # rank inside own cell
+    main = within < cap0
+    n_ovf = int((~main).sum())
+
+    counts0 = np.minimum(counts, cap0)
+    row_counts = -(-counts0 // P_PACK)
+    row_start = np.zeros(n_cells + 1, np.int64)
+    np.cumsum(row_counts, out=row_start[1:])
+    total_rows = int(row_start[-1])
+    cap_rows = int(row_counts.max()) if n_cells else 0
+
+    packed = np.zeros((max(total_rows, 1), _ROW_W), np.float64)
+    packed[:, 0:3 * P_PACK] = 1e30                # dead lanes: d2 -> huge
+    w_main = within[main]
+    row_of = row_start[cid[main]] + w_main // P_PACK
+    lane = w_main % P_PACK
+    fields = (pos[main, 0], pos[main, 1], pos[main, 2],
+              power[main, 0], power[main, 1], power[main, 2],
+              dirs[main, 0], dirs[main, 1], dirs[main, 2])
+    for fi, vals in enumerate(fields):
+        packed[row_of, fi * P_PACK + lane] = vals
+
+    n_pad = max(8, -(-n_ovf // 8) * 8)
+    ovf_pos = np.full((n_pad, 3), 1e30)
+    ovf_pow = np.zeros((n_pad, 3))
+    ovf_dir = np.zeros((n_pad, 3))
+    if n_ovf:
+        ovf_pos[:n_ovf] = pos[~main]
+        ovf_pow[:n_ovf] = power[~main]
+        ovf_dir[:n_ovf] = dirs[~main]
+
+    print(f"photon grid: {n} photons, cap {cap0}/cell "
+          f"({cap_rows} packed rows) + {n_ovf} dense-overflow "
+          "(exact — hides 0 photons)", flush=True)
     return PhotonMap(
-        pos=jnp.asarray(pos[order], dtype),
-        power=jnp.asarray(power[order], dtype),
-        inc_dir=jnp.asarray(dirs[order], dtype),
-        cell_start=jnp.asarray(start, jnp.int32),
+        packed=jnp.asarray(packed, dtype),
+        row_start=jnp.asarray(row_start, jnp.int32),
+        cap_rows=cap_rows,
+        ovf_pos=jnp.asarray(ovf_pos, dtype),
+        ovf_power=jnp.asarray(ovf_pow, dtype),
+        ovf_dir=jnp.asarray(ovf_dir, dtype),
         grid_origin=tuple(float(x) for x in origin),
         cell_size=float(radius), dims=tuple(int(x) for x in dims),
-        cap=cap, n=n)
+        n=n)
 
 
 _BATCH_LADDER = (16384, 65536, 262144, 1048576)
@@ -294,7 +346,10 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
         # (ops/intersect._mesh_gather_reduce)
         ladder = tuple(b for b in _BATCH_LADDER if b <= 65536)
     else:
-        ladder = _BATCH_LADDER
+        # TPU: skip the small probe rung — each distinct batch shape is
+        # a separate compile through the remote tunnel, and a 64k first
+        # batch measures the store rate just as well
+        ladder = _BATCH_LADDER[1:]
 
     step_fn = jax.jit(partial(photon_bounce_wave, ir, rt),
                       static_argnums=(0,))
@@ -379,98 +434,168 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
 # irradiance estimate (render-time query)
 # ---------------------------------------------------------------------------
 
-_QUERY_BLOCK = 16384
+def _query_block(pm: "PhotonMap") -> int:
+    """Queries per lax.map block: bound the cached candidate distance
+    table (~600MB on a 16GB TPU chip, 150MB on host CPU) regardless of
+    the map's density — too small a block serializes the gather batch
+    into dozens of lax.map steps."""
+    m = max(1, 27 * pm.cap_rows * P_PACK + pm.ovf_pos.shape[0])
+    budget = 150e6 if jax.default_backend() == "cpu" else 600e6
+    return int(min(16384, max(1024, budget / 4 / m)))
 
 
 def irradiance_estimate(pm: PhotonMap, points, eyev, num: int,
                         max_dist: float, cone_k: float):
     """pm_irradiance_estimate (pm.c:91-156) batched: returns (irrad (R,3),
     found (R,)). Large query batches run as a lax.map over fixed-size
-    blocks so peak memory is O(BLOCK * cap) regardless of R or the
-    per-cell cap (which is exact — see build_photon_map)."""
+    blocks so peak memory is O(BLOCK * candidates) regardless of R or
+    the map's density (coverage is exact — see build_photon_map)."""
     R = points.shape[0]
-    if R > _QUERY_BLOCK:
-        pad = (-R) % _QUERY_BLOCK
+    B = _query_block(pm)
+    if R > B:
+        pad = (-R) % B
         if pad:
             far = jnp.full((pad, 3), 1e30, points.dtype)
             points = jnp.concatenate([points, far])
             eyev = jnp.concatenate([eyev, jnp.ones((pad, 3), eyev.dtype)])
-        nb = points.shape[0] // _QUERY_BLOCK
+        nb = points.shape[0] // B
         irr, found = jax.lax.map(
             lambda ab: _irradiance_block(pm, ab[0], ab[1], num, max_dist,
                                          cone_k),
-            (points.reshape(nb, _QUERY_BLOCK, 3),
-             eyev.reshape(nb, _QUERY_BLOCK, 3)))
+            (points.reshape(nb, B, 3), eyev.reshape(nb, B, 3)))
         return irr.reshape(-1, 3)[:R], found.reshape(-1)[:R]
     return _irradiance_block(pm, points, eyev, num, max_dist, cone_k)
 
 
-def _irradiance_block(pm: PhotonMap, points, eyev, num: int,
-                      max_dist: float, cone_k: float):
-    R = points.shape[0]
-    dtype = points.dtype
+def _neighbor_rows(pm: PhotonMap, points):
+    """Per query: packed-row CSR start/extent of the 27 neighbor cells.
+    Returns (starts (R,27), ends (R,27)) in ROW units — out-of-grid
+    cells read row 0 with an empty extent."""
     dims = pm.dims
+    dtype = points.dtype
     org = jnp.asarray(pm.grid_origin, dtype)
     cell = jnp.floor((points - org) / pm.cell_size).astype(jnp.int32)
     cell = jnp.clip(cell, 0, jnp.asarray(dims, jnp.int32) - 1)
+    offs = jnp.asarray([(ox, oy, oz) for ox in (-1, 0, 1)
+                        for oy in (-1, 0, 1) for oz in (-1, 0, 1)],
+                       jnp.int32)                      # (27,3)
+    c = cell[:, None, :] + offs[None]                  # (R,27,3)
+    inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)[None, None]),
+                  axis=-1)
+    cidx = (c[..., 0] * dims[1] + c[..., 1]) * dims[2] + c[..., 2]
+    cidx = jnp.where(inb, cidx, 0)
+    s = pm.row_start[cidx]
+    e = jnp.where(inb, pm.row_start[cidx + 1], s)
+    return s, e
 
-    # streaming 27-cell top-k MERGE: a running (R, k) best set folds in
-    # one neighbor cell at a time — peak memory O(R*(k+cap)) instead of
-    # materializing all (R, 27*cap) candidates at once (which OOMed the
-    # 800x800 Cornell GI program at ~0.4GB per live tensor); the merged
-    # result is exactly the global top-k
-    k = min(num, 27 * pm.cap)
+
+def _irradiance_block(pm: PhotonMap, points, eyev, num: int,
+                      max_dist: float, cone_k: float):
+    """Sort-free exact estimate, built around two measured TPU limits:
+    random gathers run at a fixed ~0.33G ROWS/s regardless of row width
+    (so candidates arrive 14-photons-per-128-float-row — see PhotonMap),
+    and variadic sorts are far slower than dense compare/sum passes (so
+    the kth-nearest selection uses bisection counting, not top_k):
+
+      1. one packed-row gather pass per neighbor cell caches the
+         candidate distance table (R, 27*cap_rows*14 + N_ovf); spill
+         photons fold in densely (broadcast, no gather),
+      2. the kth-nearest distance (the reference heap's r^2 when full,
+         pm.c:198-207) comes from BISECTION on the cached distances —
+         count(d2 <= mid) passes, enough iterations to pin the exact
+         float (~30 f32 / ~60 f64): the kth distance is the smallest v
+         with count(d2 <= v) >= num,
+      3. one more gather pass re-reads the rows and accumulates the
+         cone-filtered weighted sum over selected candidates (d2 <= r^2,
+         photons from behind `eyev` rejected — the reference passes eyev
+         as the normal; quirk preserved), plus the dense overflow term.
+    """
+    R = points.shape[0]
+    dtype = points.dtype
+    CR = pm.cap_rows
+    P = P_PACK
     md2 = jnp.asarray(max_dist * max_dist, dtype)
-    best_d2 = jnp.full((R, k), jnp.inf, dtype)
-    best_idx = jnp.zeros((R, k), jnp.int32)
-    n_in_range = jnp.zeros((R,), jnp.int32)
-    for ox in (-1, 0, 1):
-        for oy in (-1, 0, 1):
-            for oz in (-1, 0, 1):
-                c = cell + jnp.asarray([ox, oy, oz], jnp.int32)
-                inb = jnp.all((c >= 0) & (c < jnp.asarray(dims, jnp.int32)),
-                              axis=-1)
-                cidx = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
-                cidx = jnp.where(inb, cidx, 0)
-                s = pm.cell_start[cidx]
-                e = pm.cell_start[cidx + 1]
-                idx = s[:, None] + jnp.arange(pm.cap)[None]      # (R,cap)
-                ok = (idx < e[:, None]) & inb[:, None]
-                idx = jnp.clip(idx, 0, pm.n - 1).astype(jnp.int32)
-                p = pm.pos[idx]                                   # (R,cap,3)
-                d2 = jnp.sum((p - points[:, None]) ** 2, -1)
-                d2 = jnp.where(ok & (d2 < md2), d2, jnp.inf)
-                n_in_range = n_in_range + jnp.sum(
-                    jnp.isfinite(d2), axis=-1, dtype=jnp.int32)
-                cat_d2 = jnp.concatenate([best_d2, d2], axis=-1)
-                cat_idx = jnp.concatenate([best_idx, idx], axis=-1)
-                neg, top_i = jax.lax.top_k(-cat_d2, k)
-                best_d2 = -neg
-                best_idx = jnp.take_along_axis(cat_idx, top_i, axis=-1)
-    top_d2 = best_d2                                 # ascending distances
-    top_valid = jnp.isfinite(top_d2)
+    s, e = _neighbor_rows(pm, points)                  # (R,27)
+    ar = jnp.arange(max(CR, 1), dtype=jnp.int32)
+    n_rows_tot = pm.packed.shape[0]
+
+    def rows_of(j):
+        idx = s[:, j, None] + ar[None]                 # (R,CR)
+        ok = idx < e[:, j, None]
+        rec = pm.packed[jnp.clip(idx, 0, n_rows_tot - 1)]  # (R,CR,128)
+        return rec, ok
+
+    def rec_d2(rec, ok):
+        x = rec[..., 0 * P:1 * P]
+        y = rec[..., 1 * P:2 * P]
+        z = rec[..., 2 * P:3 * P]
+        d2 = ((x - points[:, None, 0:1]) ** 2
+              + (y - points[:, None, 1:2]) ** 2
+              + (z - points[:, None, 2:3]) ** 2)      # (R,CR,P)
+        d2 = jnp.where(ok[..., None] & (d2 < md2), d2, jnp.inf)
+        return d2.reshape(R, -1)                       # (R,CR*P)
+
+    # pass 1: cached candidate distances; inf = dead lane / out of range
+    d2_cols = [rec_d2(*rows_of(j)) for j in range(27)]
+    # dense overflow fold: spill photons from over-dense cells anywhere
+    # in the grid — broadcast arithmetic, the distance test filters
+    d2_ovf = ((pm.ovf_pos[None, :, 0] - points[:, 0:1]) ** 2
+              + (pm.ovf_pos[None, :, 1] - points[:, 1:2]) ** 2
+              + (pm.ovf_pos[None, :, 2] - points[:, 2:3]) ** 2)
+    d2_cols.append(jnp.where(d2_ovf < md2, d2_ovf, jnp.inf))
+    d2_all = jnp.concatenate(d2_cols, axis=-1)
+    del d2_cols
+    n_in_range = jnp.sum(jnp.isfinite(d2_all), axis=-1, dtype=jnp.int32)
     # the reference's `found` is the heap population: capped at `num`
     # (pm.c:198-207) — the 10*num/found amplification never drops below 10
     found = jnp.minimum(n_in_range, num)
-    # r^2: kth-nearest distance^2 once the heap is full, else max_dist^2
-    r2 = jnp.where(found >= num, top_d2[:, -1], md2)
 
-    # weighted sum in k-slices: gathering all (R,k,3) powers+directions
-    # at once is ~0.5GB per live tensor for the 800x800 GI render's
-    # gather-ray batches — slicing keeps peak memory at one slice
-    w_all = 1.0 - jnp.sqrt(jnp.maximum(top_d2, 0.0)) / (cone_k * max_dist)
+    # pass 2: kth-nearest d2 by bisection (exact to the working dtype)
+    iters = 60 if dtype == jnp.float64 else 30
+    lo = jnp.zeros((R,), dtype)
+    hi = jnp.full((R,), md2, dtype)
+
+    def bis(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(d2_all <= mid[:, None], axis=-1, dtype=jnp.int32)
+        ge = cnt >= num
+        return (jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)), None
+
+    (lo, hi), _ = jax.lax.scan(bis, (lo, hi), None, length=iters)
+    r2 = jnp.where(n_in_range >= num, hi, md2)
+
+    # pass 3: cone-filtered weighted sum over selected candidates
     irr = jnp.zeros((R, 3), dtype)
-    KSLICE = 64
-    for lo in range(0, k, KSLICE):
-        hi = min(lo + KSLICE, k)
-        idx_s = best_idx[:, lo:hi]
-        pw = pm.power[idx_s]                         # (R,ks,3)
-        pdir = pm.inc_dir[idx_s]
-        front = jnp.sum(pdir * eyev[:, None], -1) < 0.0
-        use = top_valid[:, lo:hi] & front
-        irr = irr + jnp.sum(
-            jnp.where(use[..., None],
-                      pw * w_all[:, lo:hi, None], 0.0), axis=1)
+    inv_kd = 1.0 / (cone_k * max_dist)
+
+    def weighted(d2, pw_xyz, dir_xyz):
+        """d2 (R,M); pw/dir each a 3-tuple of (R,M) -> (R,3) partial."""
+        sel = d2 <= r2[:, None]                        # inf never selected
+        front = (dir_xyz[0] * eyev[:, 0:1] + dir_xyz[1] * eyev[:, 1:2]
+                 + dir_xyz[2] * eyev[:, 2:3]) < 0.0
+        w = 1.0 - jnp.sqrt(jnp.maximum(jnp.where(sel, d2, 0.0), 0.0)) \
+            * inv_kd
+        wm = jnp.where(sel & front, w, 0.0)
+        return jnp.stack([jnp.sum(wm * pw_xyz[0], -1),
+                          jnp.sum(wm * pw_xyz[1], -1),
+                          jnp.sum(wm * pw_xyz[2], -1)], -1)
+
+    for j in range(27):
+        rec, ok = rows_of(j)
+        d2 = jax.lax.dynamic_slice_in_dim(d2_all, j * CR * P, CR * P,
+                                          axis=1).reshape(R, CR, P)
+        pw = tuple(rec[..., (3 + i) * P:(4 + i) * P] for i in range(3))
+        dr = tuple(rec[..., (6 + i) * P:(7 + i) * P] for i in range(3))
+        irr = irr + weighted(d2.reshape(R, -1),
+                             tuple(a.reshape(R, -1) for a in pw),
+                             tuple(a.reshape(R, -1) for a in dr))
+    d2o = jax.lax.dynamic_slice_in_dim(
+        d2_all, 27 * CR * P, pm.ovf_pos.shape[0], axis=1)
+    irr = irr + weighted(
+        d2o, tuple(pm.ovf_power[None, :, i] for i in range(3)),
+        tuple(pm.ovf_dir[None, :, i] for i in range(3)))
+
     norm = 1.0 / ((1.0 - 2.0 / (3.0 * cone_k)) * jnp.pi * r2)
     irr = irr * norm[:, None]
     irr = jnp.where((found >= 8)[:, None], irr, 0.0)
