@@ -185,7 +185,7 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     calib = {"buckets": None}
 
     def _quantize(counts, margin):
-        return tuple(max(256, int(math.ceil(c * margin / 2048)) * 2048)
+        return tuple(max(256, int(math.ceil(c * margin / 4096)) * 4096)
                      for c in counts)
 
     def probe_counts(ir_in, px, py, ck):
@@ -398,16 +398,18 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
 
     if use_bucketed and mesh is None:
         # ONE bucket calibration for the whole render: max per-level
-        # spawn counts over three sampled chunks (first/middle/last —
-        # the top of the image is often background and alone would
-        # under-size every bucket), 1.35x margin, shared by every chunk.
-        # The round-3 design probed and potentially recompiled per chunk
-        # — the recompiles dominated the Cornell GI wall.
+        # spawn counts over five sampled chunks (the top of the image is
+        # often background and alone would under-size every bucket),
+        # 1.5x margin, one shared tuple for every chunk. The round-3
+        # design probed and potentially recompiled per chunk — and each
+        # escalation recompile of a big GI program costs minutes through
+        # the remote-TPU tunnel, far more than a probe pass.
         with timer.phase("probe_buckets"):
-            samples = sorted({0, n_chunks // 2, n_chunks - 1})
+            samples = sorted({0, n_chunks // 4, n_chunks // 2,
+                              (3 * n_chunks) // 4, n_chunks - 1})
             counts = [probe_counts(ir, *chunk_arrays(c)) for c in samples]
             calib["buckets"] = _quantize(
-                [max(v) for v in zip(*counts)], 1.35)
+                [max(v) for v in zip(*counts)], 1.5)
     start_chunk = 0
     if checkpoint_path is not None:
         from fast_ray_tracer_tpu.parallel.checkpoint import (
