@@ -647,6 +647,10 @@ def mesh_closest(ir: SceneIR, orig, dirs, keep=None):
     pass's `hit(xs, /*filter_shadow_casters*/true)` (photon_tracer.c:190)
     needs the nearest CASTING hit, i.e. non-casting triangles are
     transparent to the query, not ray-killing."""
+    from . import mesh_pallas
+    if mesh_pallas.enabled(ir, orig.dtype, aux_planes=1):
+        return mesh_pallas.closest(ir, orig, dirs, keep=keep)
+
     def order(mask, entry):
         return jnp.min(entry, axis=0), entry
 
@@ -681,6 +685,9 @@ def mesh_shadow_reduce(ir: SceneIR, tri_rank, tri_shadow, orig, dirs):
     cluster's min rank. Partial (rank, t) states merge
     rank-lexicographically (ranks are unique per leaf, so an equal-rank
     merge never mixes leaves)."""
+    from . import mesh_pallas
+    if mesh_pallas.enabled(ir, orig.dtype, aux_planes=2):
+        return mesh_pallas.shadow(ir, tri_rank, tri_shadow, orig, dirs)
     C = ir.meta.cluster_size
     Nc = ir.meta.n_clusters
     cluster_rank = jnp.min(tri_rank.reshape(Nc, C), axis=-1)   # (Nc,)

@@ -370,12 +370,18 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
 
     total = W * H
     if ir.meta.use_clusters:
-        # clustered-mesh programs hold (blocks x B x Nc) and
-        # (blocks x B x K*C) fold temps per level per light; beyond
-        # ~8k-pixel chunks the composed program OOMs device memory /
-        # faults the remote TPU worker, so cap the chunk (and scale down
-        # with per-light shadow samples)
-        cap = max(2048, 8192 // max(1, ir.meta.max_light_samples // 4))
+        from ..ops import mesh_pallas
+        if mesh_pallas.enabled(ir, dtype, aux_planes=2):
+            # Pallas mesh path: the only per-ray mesh temps are the
+            # (R, Nsc) shortlist masks — 4x bigger chunks fit easily
+            cap = max(8192, 32768 // max(1, ir.meta.max_light_samples // 4))
+        else:
+            # jnp fold programs hold (blocks x B x Nc) and
+            # (blocks x B x K*C) fold temps per level per light; beyond
+            # ~8k-pixel chunks the composed program OOMs device memory /
+            # faults the remote TPU worker, so cap the chunk (and scale
+            # down with per-light shadow samples)
+            cap = max(2048, 8192 // max(1, ir.meta.max_light_samples // 4))
         chunk_pixels = min(chunk_pixels, cap)
     if mesh is not None:
         ndev = int(np.prod(mesh.devices.shape))
