@@ -337,6 +337,11 @@ def csg_static_tables(meta, slot_prim: np.ndarray, prim_csg, prim_anc,
     return trees
 
 
+_CSG_PAIRWISE_MAX = 16    # trees up to this many leaf slots take the
+# sort-free pairwise path; larger trees (orrery gear: 40+) keep the
+# argsort walk whose (R,K,K) pairwise matrix would dominate
+
+
 def apply_csg_filter(t_cand, csg_tables, shadow: bool = False):
     """Kill intersections disallowed by the csg truth tables
     (csg_filter_intersections, src/shapes/csg.c:27-125).
@@ -359,6 +364,54 @@ def apply_csg_filter(t_cand, csg_tables, shadow: bool = False):
         if K == 0:
             continue
         ts = out[:, slots]                                  # (R,K)
+        if K <= _CSG_PAIRWISE_MAX:
+            # Small trees take a sort-free pairwise path: the postorder
+            # walk only needs, per candidate, the PARITY of each node's
+            # left/right toggles among candidates strictly earlier in
+            # the stable (t, slot-position) order — computable from the
+            # (R,K,K) strict-predecessor matrix with dense compare/sum
+            # ops. The argsort + permuted gathers + inverse-permutation
+            # scatter of the general path cost ~0.9 s per 3.2M-ray
+            # shadow batch on the Cornell box (variadic sorts are far
+            # slower than dense passes on TPU); this path is exact and
+            # bit-identical (same stable order, same truth tables).
+            pos = jnp.arange(K)
+            before = (ts[:, :, None] > ts[:, None, :]) \
+                | ((ts[:, :, None] == ts[:, None, :])
+                   & (pos[None, :, None] > pos[None, None, :]))  # j<i
+            alive = jnp.isfinite(ts)
+            for e in prog:
+                if e[0] == "g":
+                    if not shadow:
+                        continue
+                    n_branches, branch = e[1], e[2]
+                    br = jnp.asarray(branch)
+                    stopped = jnp.zeros(ts.shape[0], bool)
+                    for b in range(n_branches):
+                        member = br[None] == b
+                        alive = alive & ~(member & stopped[:, None])
+                        pos_b = jnp.any(member & alive & (ts > 0.0),
+                                        axis=-1)
+                        stopped = stopped | pos_b
+                    continue
+                _, in_node_static, lhit_static, op = e
+                inn = alive & jnp.asarray(in_node_static)[None]
+                lh = jnp.asarray(lhit_static)[None]
+                l_tog = inn & lh
+                r_tog = inn & ~lh
+                inl = (jnp.sum((before & l_tog[:, None, :])
+                               .astype(jnp.int32), -1) & 1) == 1
+                inr = (jnp.sum((before & r_tog[:, None, :])
+                               .astype(jnp.int32), -1) & 1) == 1
+                if op == 0:        # union
+                    allowed = (lh & ~inr) | (~lh & ~inl)
+                elif op == 1:      # intersection
+                    allowed = (lh & inr) | (~lh & inl)
+                else:              # difference
+                    allowed = (lh & ~inr) | (~lh & inl)
+                alive = alive & (allowed | ~inn)
+            out = out.at[:, slots].set(jnp.where(alive, ts, jnp.inf))
+            continue
         order = jnp.argsort(ts, axis=-1)                    # ascending
         ts_s = jnp.take_along_axis(ts, order, axis=-1)
         alive = jnp.isfinite(ts_s)

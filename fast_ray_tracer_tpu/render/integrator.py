@@ -298,10 +298,9 @@ def _light_sample_points(ir: SceneIR, li: int, R: int, key):
     if not jitter or key is None or typ in (IR.LIGHT_POINT, IR.LIGHT_HEMISPHERE):
         pts = ir.light_points[li, :S][None]
         return jnp.broadcast_to(pts, (R, S, 3))
-    from fast_ray_tracer_tpu.sampling.cmj import cmj_points
-    keys = jax.random.split(key, R)
+    from fast_ray_tracer_tpu.sampling.cmj import cmj_points_batched
     dtype = ir.light_pos.dtype
-    tables = jax.vmap(lambda k: cmj_points(k, usteps, vsteps, True, dtype))(keys)
+    tables = cmj_points_batched(key, R, usteps, vsteps, dtype)
     if typ == IR.LIGHT_AREA:
         u = tables[..., 0] * usteps
         v = tables[..., 1] * vsteps

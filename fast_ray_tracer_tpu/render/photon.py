@@ -216,9 +216,21 @@ class PhotonMap(NamedTuple):
     and PACKED 14-per-row into a (rows, 128) table — row r holds
     [x*14 | y*14 | z*14 | px*14 | py*14 | pz*14 | dx*14 | dy*14 | dz*14]
     so one row gather yields 14 complete (pos, power, inc_dir) records.
-    Cells denser than `cap0` photons spill their surplus into the dense
-    `ovf_*` arrays, folded against every query with broadcast arithmetic
-    (no gather) — nothing is ever hidden from queries."""
+
+    Two exact query layouts; the build picks whichever gives the
+    NARROWER per-query candidate table (the bisection passes sweep its
+    full width, so width IS the query cost):
+
+      * flat (`flat_rows` > 0): every cell's photons packed with no cap;
+        a query walks its 27 neighbor extents as ONE flat gather of at
+        most `flat_rows` rows (= the map's worst 3x3x3-neighborhood row
+        sum, so nothing is ever truncated),
+      * capped (`flat_rows` == 0): cells capped at the 99th-percentile
+        count (`cap_rows` rows each), surplus spilled to the dense
+        `ovf_*` arrays folded against every query with broadcast
+        arithmetic — pathological hot cells stop inflating the budget.
+
+    Either way nothing is hidden from queries."""
     packed: jnp.ndarray      # (rows, 128) cell-sorted packed records
     row_start: jnp.ndarray   # (n_cells+1,) i32 CSR offsets in ROW units
     cap_rows: int            # per-cell row budget = ceil(cap0 / P_PACK)
@@ -229,16 +241,32 @@ class PhotonMap(NamedTuple):
     cell_size: float
     dims: Tuple[int, int, int]
     n: int
+    flat_rows: int = 0       # per-query flat row budget (0 = capped)
+
+
+def _neighborhood_row_max(rc3: np.ndarray) -> int:
+    """Max over cells of the 3x3x3-neighborhood row-count sum (the flat
+    layout's exact per-query gather budget)."""
+    p = np.pad(rc3, 1)
+    d0, d1, d2 = rc3.shape
+    acc = np.zeros(rc3.shape, np.int64)
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
+                acc += p[ox:ox + d0, oy:oy + d1, oz:oz + d2]
+    return int(acc.max()) if acc.size else 0
 
 
 def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
-                     radius: float, dtype) -> Optional[PhotonMap]:
+                     radius: float, dtype,
+                     layout: Optional[str] = None) -> Optional[PhotonMap]:
     """Host-side grid build: cell edge = search radius so a query touches
-    exactly the 27 neighboring cells. Exact coverage: main rows hold each
-    cell's first `cap0` photons (99th-percentile cap), the rest spill to
-    the dense overflow list — hides 0 photons (the round-3 percentile
-    clamp silently dropped ~2.4% of Cornell photons in exactly the
-    over-dense cells where caustic energy concentrates)."""
+    exactly the 27 neighboring cells. Exact coverage either way (hides 0
+    photons); `layout` forces "flat" / "capped" (tests), default picks
+    the narrower per-query candidate table — flat for typical maps
+    (~3-6x narrower than capped+overflow on the Cornell global map,
+    and the bisection passes sweep the table's full width), capped when
+    a pathological hot neighborhood would blow the flat budget."""
     n = len(pos)
     if n == 0:
         return None
@@ -256,8 +284,21 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
     np.cumsum(counts, out=start[1:])
 
     occ = counts[counts > 0]
-    cap0 = int(min(int(counts.max()),
-                   max(P_PACK, int(np.ceil(np.percentile(occ, 99))))))
+    cap99 = int(min(int(counts.max()),
+                    max(P_PACK, int(np.ceil(np.percentile(occ, 99))))))
+    flat_budget = _neighborhood_row_max(
+        (-(-counts // P_PACK)).reshape(tuple(int(d) for d in dims)))
+    flat_width = flat_budget * P_PACK
+    capped_width = (27 * int((-(-np.minimum(counts, cap99) // P_PACK)).max())
+                    * P_PACK + int((counts - np.minimum(counts, cap99)).sum()))
+    if layout == "flat":
+        use_flat = True
+    elif layout == "capped":
+        use_flat = False
+    else:
+        use_flat = flat_width <= capped_width
+
+    cap0 = int(counts.max()) if use_flat else cap99
     within = np.arange(n) - start[cid]            # rank inside own cell
     main = within < cap0
     n_ovf = int((~main).sum())
@@ -289,13 +330,19 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
         ovf_pow[:n_ovf] = power[~main]
         ovf_dir[:n_ovf] = dirs[~main]
 
-    print(f"photon grid: {n} photons, cap {cap0}/cell "
-          f"({cap_rows} packed rows) + {n_ovf} dense-overflow "
-          "(exact — hides 0 photons)", flush=True)
+    if use_flat:
+        print(f"photon grid: {n} photons, flat layout "
+              f"({flat_budget}-row query budget = worst neighborhood; "
+              "exact — hides 0 photons)", flush=True)
+    else:
+        print(f"photon grid: {n} photons, cap {cap0}/cell "
+              f"({cap_rows} packed rows) + {n_ovf} dense-overflow "
+              "(exact — hides 0 photons)", flush=True)
     return PhotonMap(
         packed=jnp.asarray(packed, dtype),
         row_start=jnp.asarray(row_start, jnp.int32),
         cap_rows=cap_rows,
+        flat_rows=flat_budget if use_flat else 0,
         ovf_pos=jnp.asarray(ovf_pos, dtype),
         ovf_power=jnp.asarray(ovf_pow, dtype),
         ovf_dir=jnp.asarray(ovf_dir, dtype),
@@ -439,7 +486,10 @@ def _query_block(pm: "PhotonMap") -> int:
     table (~600MB on a 16GB TPU chip, 150MB on host CPU) regardless of
     the map's density — too small a block serializes the gather batch
     into dozens of lax.map steps."""
-    m = max(1, 27 * pm.cap_rows * P_PACK + pm.ovf_pos.shape[0])
+    if pm.flat_rows:
+        m = max(1, pm.flat_rows * P_PACK)
+    else:
+        m = max(1, 27 * pm.cap_rows * P_PACK + pm.ovf_pos.shape[0])
     budget = 150e6 if jax.default_backend() == "cpu" else 600e6
     return int(min(16384, max(1024, budget / 4 / m)))
 
@@ -497,33 +547,70 @@ def _irradiance_block(pm: PhotonMap, points, eyev, num: int,
     and variadic sorts are far slower than dense compare/sum passes (so
     the kth-nearest selection uses bisection counting, not top_k):
 
-      1. one packed-row gather pass per neighbor cell caches the
-         candidate distance table (R, 27*cap_rows*14 + N_ovf); spill
-         photons fold in densely (broadcast, no gather),
+      1. a gather pass caches the candidate distance table — flat
+         layout: one compacted walk of the 27 neighbor extents, at most
+         `flat_rows` rows (R, flat_rows*14); capped layout: cap_rows
+         rows per neighbor cell (R, 27*cap_rows*14 + N_ovf) with spill
+         photons folded densely (broadcast, no gather),
       2. the kth-nearest distance (the reference heap's r^2 when full,
          pm.c:198-207) comes from BISECTION on the cached distances —
          count(d2 <= mid) passes, enough iterations to pin the exact
          float (~30 f32 / ~60 f64): the kth distance is the smallest v
-         with count(d2 <= v) >= num,
+         with count(d2 <= v) >= num; every pass sweeps the table's FULL
+         width, which is why the build picks the narrower layout,
       3. one more gather pass re-reads the rows and accumulates the
          cone-filtered weighted sum over selected candidates (d2 <= r^2,
          photons from behind `eyev` rejected — the reference passes eyev
-         as the normal; quirk preserved), plus the dense overflow term.
+         as the normal; quirk preserved), plus the dense overflow term
+         (capped layout only).
     """
     R = points.shape[0]
     dtype = points.dtype
-    CR = pm.cap_rows
     P = P_PACK
     md2 = jnp.asarray(max_dist * max_dist, dtype)
     s, e = _neighbor_rows(pm, points)                  # (R,27)
-    ar = jnp.arange(max(CR, 1), dtype=jnp.int32)
     n_rows_tot = pm.packed.shape[0]
 
-    def rows_of(j):
-        idx = s[:, j, None] + ar[None]                 # (R,CR)
-        ok = idx < e[:, j, None]
-        rec = pm.packed[jnp.clip(idx, 0, n_rows_tot - 1)]  # (R,CR,128)
-        return rec, ok
+    # row-group sources: callables () -> (rec (R,K,128), ok (R,K));
+    # pass 1 and pass 3 gather the identical groups
+    if pm.flat_rows:
+        T = pm.flat_rows
+        lens = (e - s).astype(jnp.int32)
+        cum = jnp.cumsum(lens, axis=1)                 # (R,27)
+        total = cum[:, -1]
+        jj = jnp.arange(T, dtype=jnp.int32)
+        # flat slot j holds row s[c_j] + (j - slot-start of cell c_j);
+        # equivalently ridx[j] = j + shift[c_j] with shift = s - slot
+        # start. c_j is a step function of j, so shift[c_j] unrolls to
+        # shift[0] + sum of per-cell deltas gated by j >= cell's slot
+        # start — pure compare/sum vector ops (a take_along_axis here
+        # costs 2 element gathers per slot, ~3x slower per row than the
+        # packed-row gathers this pass exists to feed)
+        sc0 = jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.int32), cum[:, :-1]], 1)   # (R,27)
+        shift = s.astype(jnp.int32) - sc0
+        ridx = jnp.broadcast_to(jj[None], (R, T)) + shift[:, 0:1]
+        for c in range(1, 27):
+            ridx = ridx + ((shift[:, c:c + 1] - shift[:, c - 1:c])
+                           * (jj[None] >= sc0[:, c:c + 1]))
+        rok = jj[None] < total[:, None]
+        ridx = jnp.where(rok, jnp.clip(ridx, 0, n_rows_tot - 1), 0)
+        G = 8                                          # rows per group
+        bounds = [(g, min(g + G, T)) for g in range(0, T, G)]
+        sources = [(lambda g0=g0, g1=g1:
+                    (pm.packed[ridx[:, g0:g1]], rok[:, g0:g1]))
+                   for g0, g1 in bounds]
+    else:
+        CR = pm.cap_rows
+        ar = jnp.arange(max(CR, 1), dtype=jnp.int32)
+
+        def rows_of(j):
+            idx = s[:, j, None] + ar[None]             # (R,CR)
+            ok = idx < e[:, j, None]
+            rec = pm.packed[jnp.clip(idx, 0, n_rows_tot - 1)]
+            return rec, ok
+
+        sources = [(lambda j=j: rows_of(j)) for j in range(27)]
 
     def rec_d2(rec, ok):
         x = rec[..., 0 * P:1 * P]
@@ -531,18 +618,21 @@ def _irradiance_block(pm: PhotonMap, points, eyev, num: int,
         z = rec[..., 2 * P:3 * P]
         d2 = ((x - points[:, None, 0:1]) ** 2
               + (y - points[:, None, 1:2]) ** 2
-              + (z - points[:, None, 2:3]) ** 2)      # (R,CR,P)
+              + (z - points[:, None, 2:3]) ** 2)      # (R,K,P)
         d2 = jnp.where(ok[..., None] & (d2 < md2), d2, jnp.inf)
-        return d2.reshape(R, -1)                       # (R,CR*P)
+        return d2.reshape(R, -1)                       # (R,K*P)
 
     # pass 1: cached candidate distances; inf = dead lane / out of range
-    d2_cols = [rec_d2(*rows_of(j)) for j in range(27)]
-    # dense overflow fold: spill photons from over-dense cells anywhere
-    # in the grid — broadcast arithmetic, the distance test filters
-    d2_ovf = ((pm.ovf_pos[None, :, 0] - points[:, 0:1]) ** 2
-              + (pm.ovf_pos[None, :, 1] - points[:, 1:2]) ** 2
-              + (pm.ovf_pos[None, :, 2] - points[:, 2:3]) ** 2)
-    d2_cols.append(jnp.where(d2_ovf < md2, d2_ovf, jnp.inf))
+    d2_cols = [rec_d2(*src()) for src in sources]
+    widths = [c.shape[1] for c in d2_cols]
+    if not pm.flat_rows:
+        # dense overflow fold: spill photons from over-dense cells
+        # anywhere in the grid — broadcast arithmetic, the distance
+        # test filters
+        d2_ovf = ((pm.ovf_pos[None, :, 0] - points[:, 0:1]) ** 2
+                  + (pm.ovf_pos[None, :, 1] - points[:, 1:2]) ** 2
+                  + (pm.ovf_pos[None, :, 2] - points[:, 2:3]) ** 2)
+        d2_cols.append(jnp.where(d2_ovf < md2, d2_ovf, jnp.inf))
     d2_all = jnp.concatenate(d2_cols, axis=-1)
     del d2_cols
     n_in_range = jnp.sum(jnp.isfinite(d2_all), axis=-1, dtype=jnp.int32)
@@ -581,20 +671,22 @@ def _irradiance_block(pm: PhotonMap, points, eyev, num: int,
                           jnp.sum(wm * pw_xyz[1], -1),
                           jnp.sum(wm * pw_xyz[2], -1)], -1)
 
-    for j in range(27):
-        rec, ok = rows_of(j)
-        d2 = jax.lax.dynamic_slice_in_dim(d2_all, j * CR * P, CR * P,
-                                          axis=1).reshape(R, CR, P)
-        pw = tuple(rec[..., (3 + i) * P:(4 + i) * P] for i in range(3))
-        dr = tuple(rec[..., (6 + i) * P:(7 + i) * P] for i in range(3))
-        irr = irr + weighted(d2.reshape(R, -1),
-                             tuple(a.reshape(R, -1) for a in pw),
-                             tuple(a.reshape(R, -1) for a in dr))
-    d2o = jax.lax.dynamic_slice_in_dim(
-        d2_all, 27 * CR * P, pm.ovf_pos.shape[0], axis=1)
-    irr = irr + weighted(
-        d2o, tuple(pm.ovf_power[None, :, i] for i in range(3)),
-        tuple(pm.ovf_dir[None, :, i] for i in range(3)))
+    off = 0
+    for src, w in zip(sources, widths):
+        rec, ok = src()
+        d2 = jax.lax.dynamic_slice_in_dim(d2_all, off, w, axis=1)
+        off += w
+        pw = tuple(rec[..., (3 + i) * P:(4 + i) * P].reshape(R, -1)
+                   for i in range(3))
+        dr = tuple(rec[..., (6 + i) * P:(7 + i) * P].reshape(R, -1)
+                   for i in range(3))
+        irr = irr + weighted(d2, pw, dr)
+    if not pm.flat_rows:
+        d2o = jax.lax.dynamic_slice_in_dim(
+            d2_all, off, pm.ovf_pos.shape[0], axis=1)
+        irr = irr + weighted(
+            d2o, tuple(pm.ovf_power[None, :, i] for i in range(3)),
+            tuple(pm.ovf_dir[None, :, i] for i in range(3)))
 
     norm = 1.0 / ((1.0 - 2.0 / (3.0 * cone_k)) * jnp.pi * r2)
     irr = irr * norm[:, None]

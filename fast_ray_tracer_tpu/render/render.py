@@ -20,7 +20,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fast_ray_tracer_tpu.sampling.cmj import cmj_points, cmj_points_static
+from fast_ray_tracer_tpu.sampling.cmj import (
+    cmj_points_batched, cmj_points_static,
+)
 from fast_ray_tracer_tpu.scene.compile import compile_scene
 from fast_ray_tracer_tpu.scene.ir import SceneIR
 from fast_ray_tracer_tpu.scene.model import SceneDesc
@@ -30,6 +32,60 @@ from fast_ray_tracer_tpu.render.camera import (
 from fast_ray_tracer_tpu.render.integrator import (
     Triple, build_statics, color_at, trace_bucketed,
 )
+
+
+def _bucket_cache_path():
+    import os
+    d = os.environ.get("FRT_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/jax_comp"))
+    return os.path.join(d, "frt_buckets.json")
+
+
+def _bucket_cache_key(ir, cfg, W, H, chunk_pixels, dtype, path_length):
+    """Content hash over everything spawn counts can depend on: full
+    scene tensors + static meta + config + render geometry."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(repr(ir.meta).encode())
+    h.update(repr(cfg).encode())
+    h.update(f"{W}x{H}:{chunk_pixels}:{jnp.dtype(dtype).name}"
+             f":{path_length}:v1".encode())
+    for leaf in jax.tree_util.tree_leaves(ir):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def _bucket_cache_get(key):
+    import json
+    import os
+    try:
+        with open(_bucket_cache_path()) as f:
+            v = json.load(f).get(key)
+        return tuple(int(x) for x in v) if v else None
+    except (OSError, ValueError):
+        return None
+
+
+def _bucket_cache_put(key, buckets):
+    import json
+    import os
+    path = _bucket_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            d = {}
+        d[key] = list(buckets)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass                      # cache is an optimization, never fatal
 
 
 def pixel_colors(ir: SceneIR, rt, cam_rt, px_r, py_r, uv_r, ap,
@@ -158,9 +214,7 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             ap_key = None if chunk_key is None else chunk_key
         else:
             kt, ap_key = jax.random.split(chunk_key)
-            keys = jax.random.split(kt, n)
-            uv = jax.vmap(lambda k: cmj_points(
-                k, cam.usteps, cam.vsteps, True, dtype))(keys)
+            uv = cmj_points_batched(kt, n, cam.usteps, cam.vsteps, dtype)
         px_r = jnp.repeat(px, S)
         py_r = jnp.repeat(py, S)
         uv_r = uv.reshape(n * S, 2)
@@ -243,6 +297,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             esc = _quantize(probe_counts(ir_in, px, py, ck), 1.2)
             buckets = tuple(max(a, b) for a, b in zip(buckets, esc))
             calib["buckets"] = buckets
+            if calib.get("cache_key"):
+                _bucket_cache_put(calib["cache_key"], buckets)
             print(f"bucket overflow: recalibrated to {buckets}",
                   flush=True)
             res, b_ovf, m_ovf = jax.device_get(
@@ -409,13 +465,27 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         # 1.5x margin, one shared tuple for every chunk. The round-3
         # design probed and potentially recompiled per chunk — and each
         # escalation recompile of a big GI program costs minutes through
-        # the remote-TPU tunnel, far more than a probe pass.
-        with timer.phase("probe_buckets"):
-            samples = sorted({0, n_chunks // 4, n_chunks // 2,
-                              (3 * n_chunks) // 4, n_chunks - 1})
-            counts = [probe_counts(ir, *chunk_arrays(c)) for c in samples]
-            calib["buckets"] = _quantize(
-                [max(v) for v in zip(*counts)], 1.5)
+        # the remote-TPU tunnel, far more than a probe pass. The tuple
+        # persists on disk beside the XLA compile cache, keyed by the
+        # full scene content: a repeat render (the production regime the
+        # compile cache already serves) skips the probes entirely, and a
+        # stale entry only ever costs the existing overflow-escalation
+        # path, which rewrites it.
+        ck_hash = _bucket_cache_key(ir, rt.cfg, W, H, chunk_pixels,
+                                    dtype, path_length)
+        cached = _bucket_cache_get(ck_hash)
+        if cached is not None:
+            calib["buckets"] = cached
+        else:
+            with timer.phase("probe_buckets"):
+                samples = sorted({0, n_chunks // 4, n_chunks // 2,
+                                  (3 * n_chunks) // 4, n_chunks - 1})
+                counts = [probe_counts(ir, *chunk_arrays(c))
+                          for c in samples]
+                calib["buckets"] = _quantize(
+                    [max(v) for v in zip(*counts)], 1.5)
+            _bucket_cache_put(ck_hash, calib["buckets"])
+        calib["cache_key"] = ck_hash
     start_chunk = 0
     if checkpoint_path is not None:
         from fast_ray_tracer_tpu.parallel.checkpoint import (

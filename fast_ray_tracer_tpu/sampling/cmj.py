@@ -92,3 +92,49 @@ def cmj_points(key, usteps: int, vsteps: int, jitter: bool, dtype=jnp.float32):
         y = y.at[:, i].set(col_k)
         y = y.at[:, k].set(col_i)
     return jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+
+
+def cmj_points_batched(key, R: int, usteps: int, vsteps: int,
+                       dtype=jnp.float32):
+    """R independent jittered CMJ tables at once: (R, usteps*vsteps, 2).
+
+    Semantically R stacked `cmj_points(key_r, ..., jitter=True)` draws
+    (fresh key stream), but built batch-first: a vmap of cmj_points
+    lowers each truncation-indexed swap to a per-lane dynamic
+    gather/scatter pair — ~40 serialized scatter ops per table draw on
+    TPU, which dominated the Cornell direct-lighting phase. Here each
+    swap step is a masked-select over the (tiny) row/column axis: pure
+    dense vector ops, one static-index update per step."""
+    n, m = usteps, vsteps
+    count = n * m
+    k_can, k_shufx, k_shufy = jax.random.split(key, 3)
+    xi = jax.random.uniform(k_can, (R, count, 2), dtype=dtype)
+
+    j_idx = (jnp.arange(count, dtype=dtype) // m)[None]
+    i_idx = (jnp.arange(count, dtype=dtype) % m)[None]
+    x = (i_idx + (j_idx + xi[..., 0]) / n) / m
+    y = (j_idx + (i_idx + xi[..., 1]) / m) / n
+
+    m2, n2 = usteps, vsteps
+    ks_x = jax.random.uniform(k_shufx, (R, n2), dtype=dtype)
+    ks_y = jax.random.uniform(k_shufy, (R, m2), dtype=dtype)
+
+    x = x.reshape(R, n2, m2)
+    rows = jnp.arange(n2)
+    for j in range(n2):
+        k = (j + ks_x[:, j] * (n2 - j)).astype(jnp.int32)   # (R,) in [j,n2)
+        is_k = rows[None] == k[:, None]                     # (R,n2)
+        row_j = x[:, j, :]
+        row_k = jnp.sum(jnp.where(is_k[:, :, None], x, 0.0), axis=1)
+        x = jnp.where(is_k[:, :, None], row_j[:, None, :], x)
+        x = x.at[:, j, :].set(row_k)                        # static index
+    y = y.reshape(R, n2, m2)
+    cols = jnp.arange(m2)
+    for i in range(m2):
+        k = (i + ks_y[:, i] * (m2 - i)).astype(jnp.int32)
+        is_k = cols[None] == k[:, None]                     # (R,m2)
+        col_i = y[:, :, i]
+        col_k = jnp.sum(jnp.where(is_k[:, None, :], y, 0.0), axis=2)
+        y = jnp.where(is_k[:, None, :], col_i[:, :, None], y)
+        y = y.at[:, :, i].set(col_k)
+    return jnp.stack([x.reshape(R, -1), y.reshape(R, -1)], axis=-1)

@@ -89,3 +89,32 @@ def test_png_roundtrip(tmp_path):
     back = read_png(str(tmp_path / "t.png"))
     srgb = np.asarray(colors.rgb_to_srgb(canvas))
     assert np.allclose(back, srgb, atol=2e-4)
+
+
+def test_cmj_batched_stratification():
+    """cmj_points_batched tables are valid CMJ arrangements: every table
+    has exactly one sample in each of the n*m 1-D strata of x AND of y
+    (the canonical arrangement + row/column swaps preserve both), all in
+    [0,1). Matches the property of per-key cmj_points draws."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fast_ray_tracer_tpu.sampling.cmj import (
+        cmj_points, cmj_points_batched,
+    )
+    R, n, m = 64, 10, 10
+    count = n * m
+    t = np.asarray(cmj_points_batched(jax.random.PRNGKey(5), R, n, m,
+                                      jnp.float32))
+    assert t.shape == (R, count, 2)
+    assert (t >= 0).all() and (t < 1).all()
+    for r in range(R):
+        for c in range(2):
+            bins = np.floor(t[r, :, c] * count).astype(int)
+            assert sorted(bins) == list(range(count)), (r, c)
+    # same property holds for the single-key path (sanity anchor)
+    s = np.asarray(cmj_points(jax.random.PRNGKey(5), n, m, True,
+                              jnp.float32))
+    for c in range(2):
+        bins = np.floor(s[:, c] * count).astype(int)
+        assert sorted(bins) == list(range(count))

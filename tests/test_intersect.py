@@ -229,3 +229,44 @@ def test_containers_walk_equivalence():
                                np.asarray(n1_old)[hitv], rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(n2_new)[hitv],
                                np.asarray(n2_old)[hitv], rtol=0, atol=0)
+
+
+def test_csg_pairwise_matches_sorted_path():
+    """apply_csg_filter's sort-free pairwise path (K <= _CSG_PAIRWISE_MAX)
+    must agree EXACTLY with the argsort walk on identical inputs,
+    including t-ties and shadow group truncation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fast_ray_tracer_tpu.ops import intersect as I
+
+    rng = np.random.default_rng(11)
+    K = 6
+    R = 512
+    # candidate ts with misses and deliberate duplicates (tie-break!)
+    ts = rng.uniform(0.1, 3.0, (R, K))
+    ts[rng.random((R, K)) < 0.3] = np.inf
+    ts[:, 3] = ts[:, 1]                       # guaranteed ties
+    t_cand = jnp.asarray(ts)
+    slots = np.arange(K, dtype=np.int32)
+    in_node0 = np.asarray([1, 1, 1, 1, 0, 0], bool)
+    lhit0 = np.asarray([1, 1, 0, 0, 0, 0], bool)
+    in_node1 = np.ones(K, bool)
+    lhit1 = np.asarray([1, 1, 1, 1, 0, 0], bool)
+    branch = np.asarray([0, 0, 1, 1, 2, 2], np.int32)
+    for shadow in (False, True):
+        for op0 in (0, 1, 2):
+            prog = (("g", 3, branch),
+                    ("c", in_node0, lhit0, op0),
+                    ("c", in_node1, lhit1, 2))
+            tables = [(slots, prog)]
+            old = I._CSG_PAIRWISE_MAX
+            try:
+                I._CSG_PAIRWISE_MAX = 16
+                got = np.asarray(I.apply_csg_filter(t_cand, tables,
+                                                    shadow=shadow))
+                I._CSG_PAIRWISE_MAX = 0
+                ref = np.asarray(I.apply_csg_filter(t_cand, tables,
+                                                    shadow=shadow))
+            finally:
+                I._CSG_PAIRWISE_MAX = old
+            np.testing.assert_array_equal(got, ref), (shadow, op0)

@@ -17,9 +17,10 @@ from fast_ray_tracer_tpu.render.photon import (
 )
 
 
+@pytest.mark.parametrize("layout", ["flat", "capped"])
 @pytest.mark.parametrize("concentrate", [False, True],
                          ids=["sparse", "oversubscribed"])
-def test_irradiance_estimate_oracle(concentrate):
+def test_irradiance_estimate_oracle(concentrate, layout):
     rng = np.random.default_rng(3)
     N = 5000
     pos = rng.uniform(-1, 1, (N, 3))
@@ -29,7 +30,8 @@ def test_irradiance_estimate_oracle(concentrate):
     dirs = rng.normal(size=(N, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     radius, num, cone_k = 0.25, 64, 1.0
-    pm = build_photon_map(pos, power, dirs, radius, jnp.float64)
+    pm = build_photon_map(pos, power, dirs, radius, jnp.float64,
+                      layout=layout)
     Q = 200
     pts = rng.uniform(-1, 1, (Q, 3))
     if concentrate:
