@@ -57,3 +57,45 @@ def test_bucketed_overflow_flag():
     buckets = [8] + [max(64, c) for c in counts[1:]]
     _, ovf = trace_bucketed(ir, rt, o, d, depth, None, buckets)
     assert bool(ovf)
+
+
+def test_bucket_calibration_disk_cache(tmp_path, monkeypatch):
+    """Calibrated bucket tuples persist keyed by scene content: same
+    scene hits, any content change (geometry, config, resolution)
+    misses, corrupt cache files are ignored."""
+    import jax.numpy as jnp
+    from fast_ray_tracer_tpu.render import render as R
+    from fast_ray_tracer_tpu.scene.compile import compile_scene
+    from fast_ray_tracer_tpu.scene.demo import glass_spheres
+    from fast_ray_tracer_tpu.scene.model import replace
+
+    monkeypatch.setenv("FRT_COMPILE_CACHE", str(tmp_path))
+    sc = glass_spheres(16, 8)
+    ir = compile_scene(sc, dtype=jnp.float32)
+    k = R._bucket_cache_key(ir, sc.config, 16, 8, 128, jnp.float32, 5)
+    assert R._bucket_cache_get(k) is None
+    R._bucket_cache_put(k, (512, 256, 256))
+    assert R._bucket_cache_get(k) == (512, 256, 256)
+    # same inputs -> same key (deterministic)
+    assert k == R._bucket_cache_key(ir, sc.config, 16, 8, 128,
+                                    jnp.float32, 5)
+    # any knob change -> different key
+    assert k != R._bucket_cache_key(ir, sc.config, 32, 8, 128,
+                                    jnp.float32, 5)
+    assert k != R._bucket_cache_key(ir, sc.config, 16, 8, 128,
+                                    jnp.float32, 4)
+    sc2 = glass_spheres(16, 8)
+    sc2.config = replace(sc2.config, photon_count=123)
+    assert k != R._bucket_cache_key(ir, sc2.config, 16, 8, 128,
+                                    jnp.float32, 5)
+    # geometry change -> different key
+    ir2 = compile_scene(glass_spheres(16, 8), dtype=jnp.float32)
+    ir2.inv_tf = ir2.inv_tf + 1e-3
+    assert k != R._bucket_cache_key(ir2, sc.config, 16, 8, 128,
+                                    jnp.float32, 5)
+    # corrupt cache file -> treated as miss, put still works
+    with open(R._bucket_cache_path(), "w") as f:
+        f.write("{corrupt")
+    assert R._bucket_cache_get(k) is None
+    R._bucket_cache_put(k, (256,))
+    assert R._bucket_cache_get(k) == (256,)
