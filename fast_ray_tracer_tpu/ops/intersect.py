@@ -663,7 +663,12 @@ def _mesh_gather_reduce(ir: SceneIR, orig, dirs, order_fn, init_fn,
     # while_loop early exit; CPU keeps the tight budget (f64 goldens
     # with million-ray photon batches genuinely need the bound)
     itemsize = jnp.dtype(orig.dtype).itemsize
-    budget = 1.5e9 if jax.default_backend() == "cpu" else 12e9
+    # budget = 75% of the device's memory limit (16 GB on v5e -> 12 GB,
+    # the empirically safe bound), 1.5 GB on host CPU; override with
+    # FRT_MESH_FOLD_BUDGET (bytes). tools/repro_laxmap_fault.py pins the
+    # runtime fault the serialization path dodges.
+    from fast_ray_tracer_tpu.utils import memory_budget
+    budget = memory_budget(0.75, 1.5e9, "FRT_MESH_FOLD_BUDGET")
     group = max(1, int(budget / max(1, B * K * C * itemsize * 4)))
     if nblk <= group:
         out, unsettled = jax.vmap(block)(orig_b, dirs_b, *extra_b)

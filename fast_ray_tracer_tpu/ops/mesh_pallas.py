@@ -48,7 +48,17 @@ from ..constants import EPSILON
 SC = 128                 # triangles per supercluster (2 clusters of 64)
 BLOCK_RAYS = 32          # rays per kernel grid step
 _BIG = 1e30              # empty-box / dead-rank sentinel (finite: no NaNs)
-_VMEM_BUDGET = 8 * 1024 * 1024   # resident bytes cap; larger meshes -> jnp
+
+
+def _vmem_budget():
+    """Resident bytes cap for the VMEM-resident kernel; larger meshes
+    stream supercluster rows HBM->VMEM instead (see _stream_call).
+    Override: FRT_MESH_PALLAS_VMEM (bytes)."""
+    return int(float(os.environ.get("FRT_MESH_PALLAS_VMEM",
+                                    8 * 1024 * 1024)))
+
+
+_STREAM_BUFS = 8         # DMA ring depth for the streaming kernel
 
 
 def _mode():
@@ -64,15 +74,31 @@ def _mode():
 
 def enabled(ir, dtype, aux_planes: int) -> bool:
     """Pallas path applies: TPU (or forced interpret), f32 rays, and the
-    resident planes (9 triangle components + aux) fit the VMEM budget."""
+    resident planes (9 triangle components + aux) fit the VMEM budget.
+
+    Shadow ranks ride an f32 plane in the kernel, so they must be exact
+    f32 integers: ranks are DFS visit positions over document leaves
+    (divide.shadow_ranks), bounded by the leaf count <= n_analytic +
+    n_triangles — gate on that bound staying under 2^24."""
     meta = ir.meta
     if not meta.use_clusters or _mode() is None:
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
+    if meta.n_analytic + meta.n_triangles >= 2 ** 24:
+        return False
+    # beyond the resident budget the STREAMING kernel takes over (ring-
+    # buffered per-supercluster DMA) — no size cliff at the VMEM budget,
+    # matching group.c which has none; the cap is the per-block SMEM
+    # shortlist (1, Nsc) i32 staying comfortably inside scalar memory
     nsc = -(-meta.n_clusters * meta.cluster_size // SC)
-    resident = (9 + aux_planes) * nsc * SC * 4
-    return resident <= _VMEM_BUDGET
+    return nsc <= 16384            # ~2.1M triangles
+
+
+def _resident_fits(ir, aux_planes: int) -> bool:
+    meta = ir.meta
+    nsc = -(-meta.n_clusters * meta.cluster_size // SC)
+    return (9 + aux_planes) * nsc * SC * 4 <= _vmem_budget()
 
 
 # ---------------------------------------------------------------------------
@@ -176,22 +202,21 @@ def _mt_rows(rays_ref, tris_ref, s):
     """(B, SC) Möller-Trumbore for supercluster s: (t-masked-with-ok,
     raw ok mask). Predicate chain identical to intersect._triangle_t
     (triangle.c:10-44)."""
+    row = pl.ds(s, 1)
+    return _mt_core(rays_ref,
+                    [tris_ref[c, row, :] for c in range(9)])
+
+
+def _mt_core(rays_ref, comp):
+    """Möller-Trumbore of the block's rays against 9 loaded component
+    rows comp = [p1x..e2z] each (1, SC) -> (t, ok) of (B, SC)."""
     ox = rays_ref[0, :, 0:1]
     oy = rays_ref[0, :, 1:2]
     oz = rays_ref[0, :, 2:3]
     dx = rays_ref[0, :, 3:4]
     dy = rays_ref[0, :, 4:5]
     dz = rays_ref[0, :, 5:6]
-    row = pl.ds(s, 1)
-    p1x = tris_ref[0, row, :]
-    p1y = tris_ref[1, row, :]
-    p1z = tris_ref[2, row, :]
-    e1x = tris_ref[3, row, :]
-    e1y = tris_ref[4, row, :]
-    e1z = tris_ref[5, row, :]
-    e2x = tris_ref[6, row, :]
-    e2y = tris_ref[7, row, :]
-    e2z = tris_ref[8, row, :]
+    p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z = comp
     # pvec = d x e2
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
@@ -268,6 +293,159 @@ def _shadow_kernel(rays_ref, ids_ref, cnt_ref, tris_ref, rank_ref,
 
 
 # ---------------------------------------------------------------------------
+# streaming kernels (soup larger than VMEM: ring-buffered HBM->VMEM DMA)
+# ---------------------------------------------------------------------------
+
+def _ring(ids_ref, hbm_refs, bufs, sems):
+    """DMA descriptors for one ring slot: shortlist entry k's supercluster
+    row of every streamed plane. hbm_refs[0] is the (9, Nsc, SC) triangle
+    planes (strided 9-segment copy, 512 B per segment); the rest are
+    (Nsc, SC) aux planes."""
+    def make(slot, k):
+        s = ids_ref[0, 0, k]
+        out = [pltpu.make_async_copy(hbm_refs[0].at[:, pl.ds(s, 1), :],
+                                     bufs[0].at[slot], sems[0].at[slot])]
+        for h, b, sem in zip(hbm_refs[1:], bufs[1:], sems[1:]):
+            out.append(pltpu.make_async_copy(h.at[pl.ds(s, 1), :],
+                                             b.at[slot], sem.at[slot]))
+        return out
+    return make
+
+
+def _stream_fold(rays_ref, ids_ref, cnt_ref, hbm_refs, bufs, sems,
+                 init, step):
+    """Shared ring-buffered fold over the block's shortlist: DMA entry
+    k+_STREAM_BUFS into slot k%_STREAM_BUFS after consuming entry k, so
+    up to _STREAM_BUFS copies stay in flight while the VPU runs the
+    Möller-Trumbore merge. `step(carry, s, comp, aux)` consumes the
+    loaded rows."""
+    n = cnt_ref[0, 0, 0]
+    make = _ring(ids_ref, hbm_refs, bufs, sems)
+
+    for w in range(_STREAM_BUFS):
+        @pl.when(w < n)
+        def _(w=w):
+            for dma in make(w, w):
+                dma.start()
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, jnp.asarray(_STREAM_BUFS, k.dtype))
+        for dma in make(slot, k):
+            dma.wait()
+        s = ids_ref[0, 0, k]
+        comp = [bufs[0][slot, c] for c in range(9)]
+        aux = [b[slot] for b in bufs[1:]]
+        carry = step(carry, s, comp, aux)
+        nxt = k + _STREAM_BUFS
+
+        @pl.when(nxt < n)
+        def _():
+            for dma in make(slot, nxt):
+                dma.start()
+        return carry
+
+    return jax.lax.fori_loop(0, n, body, init)
+
+
+def _stream_closest_kernel(rays_ref, ids_ref, cnt_ref, tris_hbm, *rest,
+                           with_keep):
+    if with_keep:
+        keep_hbm, t_ref, i_ref, tbuf, kbuf, tsem, ksem = rest
+        hbm_refs, bufs, sems = [tris_hbm, keep_hbm], [tbuf, kbuf], \
+            [tsem, ksem]
+    else:
+        t_ref, i_ref, tbuf, tsem = rest
+        hbm_refs, bufs, sems = [tris_hbm], [tbuf], [tsem]
+
+    def step(carry, s, comp, aux):
+        best_t, best_i = carry
+        t, ok = _mt_core(rays_ref, comp)
+        ok &= t > 0.0
+        if with_keep:
+            ok &= aux[0] > 0.0
+        tm = jnp.where(ok, t, jnp.inf)
+        rm = jnp.min(tm, axis=1, keepdims=True)              # (B,1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+        am = jnp.min(jnp.where(tm == rm, lane, SC), axis=1, keepdims=True)
+        upd = rm < best_t
+        return (jnp.where(upd, rm, best_t),
+                jnp.where(upd, s * SC + am, best_i))
+
+    b = rays_ref.shape[1]
+    init = (jnp.full((b, 1), jnp.inf, jnp.float32),
+            jnp.zeros((b, 1), jnp.int32))
+    best_t, best_i = _stream_fold(rays_ref, ids_ref, cnt_ref, hbm_refs,
+                                  bufs, sems, init, step)
+    t_ref[0] = best_t
+    i_ref[0] = best_i
+
+
+def _stream_shadow_kernel(rays_ref, ids_ref, cnt_ref, tris_hbm, rank_hbm,
+                          cast_hbm, r_ref, t_ref, tbuf, rbuf, cbuf,
+                          tsem, rsem, csem):
+    def step(carry, s, comp, aux):
+        acc_r, acc_t = carry
+        t, ok = _mt_core(rays_ref, comp)
+        ok &= t > 0.0
+        rk = jnp.where(ok, aux[0], _BIG)
+        rmin = jnp.min(rk, axis=1, keepdims=True)            # (B,1)
+        sel = ok & (rk == rmin) & (aux[1] > 0.0)
+        tsel = jnp.min(jnp.where(sel, t, jnp.inf), axis=1, keepdims=True)
+        lt = rmin < acc_r
+        eq = rmin == acc_r
+        acc_t = jnp.where(lt, tsel,
+                          jnp.where(eq, jnp.minimum(acc_t, tsel), acc_t))
+        return jnp.minimum(acc_r, rmin), acc_t
+
+    b = rays_ref.shape[1]
+    init = (jnp.full((b, 1), _BIG, jnp.float32),
+            jnp.full((b, 1), jnp.inf, jnp.float32))
+    acc_r, acc_t = _stream_fold(
+        rays_ref, ids_ref, cnt_ref, [tris_hbm, rank_hbm, cast_hbm],
+        [tbuf, rbuf, cbuf], [tsem, rsem, csem], init, step)
+    r_ref[0] = acc_r
+    t_ref[0] = acc_t
+
+
+def _stream_call(kernel, rays, ids, counts, tris, aux, n_out_i32):
+    """pallas_call wrapper for the streaming kernels: triangle planes and
+    aux planes stay OFF-chip (memory_space ANY); per-block VMEM holds
+    only the ray block, the SMEM shortlist, and the DMA ring buffers."""
+    nblk = rays.shape[0]
+    nsc = tris.shape[1]
+    NB = _STREAM_BUFS
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        pl.BlockSpec((1, BLOCK_RAYS, 8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsc), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        any_spec,
+    ] + [any_spec for _ in aux]
+    out_specs = tuple(
+        pl.BlockSpec((1, BLOCK_RAYS, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM) for _ in range(2))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((nblk, BLOCK_RAYS, 1),
+                             jnp.int32 if k >= 2 - n_out_i32 else jnp.float32)
+        for k in range(2))
+    scratch = [pltpu.VMEM((NB, 9, 1, SC), jnp.float32)]
+    scratch += [pltpu.VMEM((NB, 1, SC), jnp.float32) for _ in aux]
+    scratch += [pltpu.SemaphoreType.DMA((NB,)) for _ in range(1 + len(aux))]
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_mode() == "interpret",
+    )(rays, ids, counts, tris, *aux)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -311,21 +489,28 @@ def _call(kernel, rays, ids, counts, tris, aux, n_out_i32):
 
 def closest(ir, orig, dirs, keep=None):
     """Pallas nearest positive triangle hit: (t (R,), tri_index (R,));
-    misses t=inf. Drop-in for intersect.mesh_closest on TPU/f32."""
+    misses t=inf. Drop-in for intersect.mesh_closest on TPU/f32.
+    Soups within the VMEM budget run fully resident; larger soups stream
+    supercluster rows through a DMA ring (_stream_call)."""
     r = orig.shape[0]
     rays, orig_p, dirs_p = _block_rays(orig, dirs)
     ids, counts = _shortlist(ir, orig_p, dirs_p)
     tris = _pack_tris(ir)
-    if keep is not None:
-        aux = (_pack_plane(ir, keep, fill=0.0),)
-        kern = functools.partial(_closest_kernel, with_keep=True)
+    with_keep = keep is not None
+    aux = (_pack_plane(ir, keep, fill=0.0),) if with_keep else ()
+    if _resident_fits(ir, 1 if with_keep else 0):
+        if with_keep:
+            kern = functools.partial(_closest_kernel, with_keep=True)
+        else:
+            def kern(ra, idr, cn, tr, t_ref, i_ref):
+                _closest_kernel(ra, idr, cn, tr, None, t_ref, i_ref,
+                                with_keep=False)
+        t, idx = _call(kern, rays, ids, counts, tris, aux, n_out_i32=1)
     else:
-        aux = ()
-
-        def kern(ra, idr, cn, tr, t_ref, i_ref):
-            _closest_kernel(ra, idr, cn, tr, None, t_ref, i_ref,
-                            with_keep=False)
-    t, idx = _call(kern, rays, ids, counts, tris, aux, n_out_i32=1)
+        kern = functools.partial(_stream_closest_kernel,
+                                 with_keep=with_keep)
+        t, idx = _stream_call(kern, rays, ids, counts, tris, aux,
+                              n_out_i32=1)
     t = t.reshape(-1)[:r]
     idx = idx.reshape(-1)[:r]
     # padded-triangle defense (degenerate pads can't hit) + miss idx 0
@@ -337,8 +522,9 @@ def shadow(ir, tri_rank, tri_shadow, orig, dirs):
     _BIG_RANK when none, nearest casting t within that rank (R,)).
     Drop-in for intersect.mesh_shadow_reduce on TPU/f32.
 
-    tri_rank must be exactly representable in f32 (< 2^24 — scene slot
-    ranks are far below; enforced by the caller's fallback check)."""
+    tri_rank must be exactly representable in f32 (< 2^24): enabled()
+    gates the whole Pallas path on n_analytic + n_triangles < 2^24,
+    which bounds every DFS leaf rank."""
     r = orig.shape[0]
     rays, orig_p, dirs_p = _block_rays(orig, dirs)
     c = ir.meta.cluster_size
@@ -355,8 +541,12 @@ def shadow(ir, tri_rank, tri_shadow, orig, dirs):
     tris = _pack_tris(ir)
     aux = (_pack_plane(ir, tri_rank, fill=_BIG),
            _pack_plane(ir, tri_shadow, fill=0.0))
-    rk, t = _call(_shadow_kernel, rays, ids, counts, tris, aux,
-                  n_out_i32=0)
+    if _resident_fits(ir, 2):
+        rk, t = _call(_shadow_kernel, rays, ids, counts, tris, aux,
+                      n_out_i32=0)
+    else:
+        rk, t = _stream_call(_stream_shadow_kernel, rays, ids, counts,
+                             tris, aux, n_out_i32=0)
     rk = rk.reshape(-1)[:r]
     t = t.reshape(-1)[:r]
     big = np.int32(np.iinfo(np.int32).max)

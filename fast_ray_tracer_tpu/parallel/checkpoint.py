@@ -102,11 +102,19 @@ def restore_train_state(directory: str, example: TrainState,
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
         new_leaves = [restored.get(n, x) for n, x in zip(names, leaves)]
-    except BaseException:
-        # legacy positional layout (same item structure at save time)
+    except Exception as named_err:
+        # legacy positional layout (same item structure at save time).
+        # Exception only — KeyboardInterrupt/SystemExit propagate; and if
+        # the legacy read fails too, re-raise the ORIGINAL error so a
+        # corrupt checkpoint surfaces as itself, not as a confusing
+        # legacy-format mismatch.
         tmpl_l = {f"l{i}": x for i, x in enumerate(leaves)
                   if int(np.size(x)) > 0}
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(tmpl_l))
+        try:
+            restored = mgr.restore(step,
+                                   args=ocp.args.StandardRestore(tmpl_l))
+        except Exception:
+            raise named_err
         new_leaves = [restored.get(f"l{i}", x)
                       for i, x in enumerate(leaves)]
     mgr.close()

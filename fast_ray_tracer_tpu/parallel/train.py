@@ -56,18 +56,22 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(rt, cam_rt, static, n_samples: int, path_length: int,
-                    optimizer=None, remat: bool = False):
+                    optimizer=None, remat=False, buckets=None):
     """Build a jittable (state, px_r, py_r, uv_r, ap, target) -> (state,
     loss) step. `target`: (n_pixels, 3) reference canvas chunk.
-    `remat=True` checkpoints each wavefront level in the backward pass
-    (activation memory O(levels*R) instead of O(levels*R*H))."""
+    `remat` checkpoints each wavefront level in the backward pass
+    (activation memory O(levels*R) instead of O(levels*R*H)); `buckets`
+    differentiates through the compacted static-bucket wavefront
+    (~10R-lane instead of 63R-lane graph at depth 5 — see
+    render.pixel_colors)."""
     if optimizer is None:
         optimizer = optax.adam(1e-2)
 
     def loss_fn(params, px_r, py_r, uv_r, ap, target, key):
         ir = merge_params(params, static)
         img = pixel_colors(ir, rt, cam_rt, px_r, py_r, uv_r, ap,
-                           n_samples, path_length, key, remat=remat)
+                           n_samples, path_length, key, remat=remat,
+                           buckets=buckets)
         return jnp.mean((img - target) ** 2)
 
     def step(state: TrainState, px_r, py_r, uv_r, ap, target, key=None):

@@ -460,7 +460,11 @@ def shade_direct(ir: SceneIR, rt: RenderStatics, comps: Comps, key) -> Triple:
         # GI block — clamp included — is gated on over_Kd > 0
         # (renderer.c:728): black-diffuse lanes keep an unclamped ambient.
         l1 = jnp.sum(a, axis=-1, keepdims=True)
-        clamped = jnp.where(l1 > SQRT3, a * SQRT3 / l1, a)
+        # double-where: the un-taken branch's a*SQRT3/l1 divides by l1=0
+        # on black-ambient lanes (include_ambient off) — fine forward
+        # (masked) but the division backward is 0-cotangent * inf = NaN
+        over = l1 > SQRT3
+        clamped = jnp.where(over, a * SQRT3 / jnp.where(over, l1, 1.0), a)
         gate = jnp.any(comps.over_Kd > 0.0, axis=-1, keepdims=True)
         surface = Triple(jnp.where(gate, clamped, a), surface.d, surface.s)
     return surface
@@ -537,18 +541,52 @@ def refract_direction(comps: Comps):
         - comps.eyev * n_ratio[:, None]
 
 
-def _make_level_fn(rt: RenderStatics, remat: bool):
+def _make_level_fn(rt: RenderStatics, remat):
     """(ir, o, d, key) -> (Comps, direct Triple), optionally wrapped in
     jax.checkpoint: under grad, each wavefront level's big intermediates
     (candidate t tables, shadow-ray batches, pattern evals) are
     rematerialized instead of stored — activation memory drops from
     O(levels * R * H) to O(levels * R). Forward-only execution is
-    unchanged (checkpoint is an identity outside differentiation)."""
+    unchanged (checkpoint is an identity outside differentiation).
+
+    remat modes (bench_extras sweeps them; render callers pass bools):
+      False/"none"   — store everything (cheapest recompute, most memory)
+      True/"level"   — one checkpoint per wavefront level
+      "nested"       — level checkpoint + inner checkpoints around
+                       prepare_computations and shade_direct: the level
+                       backward materializes ONE sub-block's internals
+                       at a time (peak = max, not sum)
+      "dots"         — level checkpoint with dots_saveable policy (keeps
+                       matmul outputs - the ray-transform products -
+                       saved, recomputes the rest)"""
+    if remat is True:
+        remat = "level"
+    if not remat or remat == "none":
+        def _plain(ir, cur_o, cur_d, lkey):
+            comps = prepare_computations(ir, rt, cur_o, cur_d)
+            direct = shade_direct(ir, rt, comps, lkey)
+            return comps, direct
+        return _plain
+    if remat == "nested":
+        prep = jax.checkpoint(
+            lambda i, o, d: prepare_computations(i, rt, o, d))
+        shade = jax.checkpoint(
+            lambda i, c, k: shade_direct(i, rt, c, k))
+
+        def _level_nested(ir, cur_o, cur_d, lkey):
+            comps = prep(ir, cur_o, cur_d)
+            return comps, shade(ir, comps, lkey)
+        return jax.checkpoint(_level_nested)
+    policy = None
+    if remat == "dots":
+        policy = jax.checkpoint_policies.dots_saveable
+
     def _level(ir, cur_o, cur_d, lkey):
         comps = prepare_computations(ir, rt, cur_o, cur_d)
         direct = shade_direct(ir, rt, comps, lkey)
         return comps, direct
-    return jax.checkpoint(_level) if remat else _level
+    return (jax.checkpoint(_level, policy=policy) if policy
+            else jax.checkpoint(_level))
 
 
 def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
@@ -618,7 +656,7 @@ def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
 
 
 def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
-                   key, buckets):
+                   key, buckets, remat=False, value_gates: bool = True):
     """Wavefront trace with DEVICE-SIDE static-bucket compaction.
 
     The statically-unrolled `trace` doubles the lane count every level
@@ -641,9 +679,9 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
     cfg = rt.cfg
     want_refl = cfg.include_specular and ir.meta.has_reflective and depth > 0
     want_refr = cfg.include_specular and ir.meta.has_refractive and depth > 0
+    level_fn = _make_level_fn(rt, remat)
     if not (want_refl or want_refr):
-        comps = prepare_computations(ir, rt, orig, dirs)
-        direct = shade_direct(ir, rt, comps, key)
+        comps, direct = level_fn(ir, orig, dirs, key)
         return combine_specular(ir, rt, comps, direct, None,
                                 None).mask(comps.valid), jnp.bool_(False)
 
@@ -653,8 +691,7 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
     cur_o, cur_d = orig, dirs
     for lvl in range(depth + 1):
         lkey = None if key is None else jax.random.fold_in(key, lvl)
-        comps = prepare_computations(ir, rt, cur_o, cur_d)
-        direct = shade_direct(ir, rt, comps, lkey)
+        comps, direct = level_fn(ir, cur_o, cur_d, lkey)
         n = cur_o.shape[0]
         entry = {"comps": comps, "direct": direct, "n": n,
                  "pos": None, "act": None, "bucket": 0}
@@ -662,19 +699,31 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         if lvl == depth:
             break
         # child slot layout: [reflect lanes 0..n) | refract lanes n..2n).
-        # Children whose contribution is provably zero are not spawned:
-        # reflect scales by over_refl (combine_specular), refract by
-        # Tf * over_d — a zero color kills the whole subtree.
+        # With value_gates (the default), children whose contribution is
+        # provably zero are not spawned: reflect scales by over_refl
+        # (combine_specular), refract by Tf * over_d — a zero color
+        # kills the whole subtree. Differentiation consequence: since
+        # combine_specular only MULTIPLIES by over_refl/Tf, a material
+        # whose refl/Tf is EXACTLY zero gets subgradient 0 through its
+        # pruned subtree (one-sided derivative at the prune boundary);
+        # any nonzero channel gives exact gradients. value_gates=False
+        # restores the exact gradient but regrows ~2^depth lanes —
+        # refract_active alone admits nearly every opaque hit (over_d=1)
+        # — so the gated semantics is the default even for training
+        # (test_bucketed_gradients_match_unrolled pins both behaviors).
         acts, os_, ds_ = [], [], []
         if want_refl:
-            refl_spawn = (ir.mat_reflective[comps.mat] & comps.valid
-                          & jnp.any(comps.over_refl != 0.0, axis=-1))
+            refl_spawn = ir.mat_reflective[comps.mat] & comps.valid
+            if value_gates:
+                refl_spawn &= jnp.any(comps.over_refl != 0.0, axis=-1)
             acts.append(refl_spawn)
             os_.append(comps.over_point)
             ds_.append(comps.reflectv)
         if want_refr:
-            refr_spawn = (refract_active(comps)
-                          & jnp.any(ir.mat_Tf[comps.mat] != 0.0, axis=-1))
+            refr_spawn = refract_active(comps)
+            if value_gates:
+                refr_spawn &= jnp.any(ir.mat_Tf[comps.mat] != 0.0,
+                                      axis=-1)
             acts.append(refr_spawn)
             os_.append(comps.under_point)
             ds_.append(refract_direction(comps))
@@ -691,11 +740,17 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         entry["pos"] = jnp.cumsum(act.astype(jnp.int32)) - 1
         entry["act"] = act
         entry["bucket"] = B
-        # fill lanes -> a ray parked far outside every scene bound
-        pad_o = jnp.concatenate([src_o, jnp.full((1, 3), 1e30, dtype)])
-        pad_d = jnp.concatenate([src_d, jnp.ones((1, 3), dtype)])
-        cur_o = pad_o[idx]
-        cur_d = pad_d[idx]
+        # ONE packed-row gather for both ray components: random/compacted
+        # gathers cost per ROW regardless of width up to 128 floats, and
+        # the per-op profile showed the split o/d gathers' staging copies
+        # on the big child arrays dominating the composed program
+        pad = jnp.concatenate(
+            [jnp.concatenate([src_o, src_d], axis=-1),
+             jnp.concatenate([jnp.full((1, 3), 1e30, dtype),
+                              jnp.ones((1, 3), dtype)], axis=-1)])
+        cur = pad[idx]
+        cur_o = cur[:, :3]
+        cur_d = cur[:, 3:6]
         if ir.meta.use_clusters:
             # sequence wavefront levels on clustered scenes (see
             # shade_direct): level L's fold temps must be dead before
@@ -712,13 +767,16 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         if child_total is not None:
             # gather each child slot's result from its bucket position
             # (inverse of the downward nonzero compaction); dead slots
-            # (act=False) contribute zero
+            # (act=False) contribute zero. One packed (B,9) row gather
+            # instead of three (B,3) gathers — same row count, third
+            # the staging traffic.
             B = e["bucket"]
             posc = jnp.clip(e["pos"], 0, B - 1)
             actm = e["act"][:, None]
-            ga = jnp.where(actm, child_total.a[posc], 0.0)
-            gd = jnp.where(actm, child_total.d[posc], 0.0)
-            gs = jnp.where(actm, child_total.s[posc], 0.0)
+            packed_child = jnp.concatenate(
+                [child_total.a, child_total.d, child_total.s], axis=-1)
+            g = jnp.where(actm, packed_child[posc], 0.0)
+            ga, gd, gs = g[:, :3], g[:, 3:6], g[:, 6:9]
             off = 0
             if want_refl:
                 refl_raw = Triple(ga[off:off + n], gd[off:off + n],
@@ -734,7 +792,7 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
 
 
 def spawn_counts(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
-                 key, ceiling: float = 3.0):
+                 key, ceiling: float = 3.0, value_gates: bool = True):
     """Per-level live-children counts for bucket calibration (jit this and
     run it once per chunk at setup; ~one render pass of cost). Uses
     ceiling-sized buckets internally so the counts are exact unless a
@@ -751,13 +809,17 @@ def spawn_counts(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         comps = prepare_computations(ir, rt, cur_o, cur_d)
         acts, os_, ds_ = [], [], []
         if want_refl:
-            acts.append(ir.mat_reflective[comps.mat] & comps.valid
-                        & jnp.any(comps.over_refl != 0.0, axis=-1))
+            a = ir.mat_reflective[comps.mat] & comps.valid
+            if value_gates:
+                a &= jnp.any(comps.over_refl != 0.0, axis=-1)
+            acts.append(a)
             os_.append(comps.over_point)
             ds_.append(comps.reflectv)
         if want_refr:
-            acts.append(refract_active(comps)
-                        & jnp.any(ir.mat_Tf[comps.mat] != 0.0, axis=-1))
+            a = refract_active(comps)
+            if value_gates:
+                a &= jnp.any(ir.mat_Tf[comps.mat] != 0.0, axis=-1)
+            acts.append(a)
             os_.append(comps.under_point)
             ds_.append(refract_direction(comps))
         if not acts:

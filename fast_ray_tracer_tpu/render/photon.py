@@ -123,23 +123,59 @@ def emit_photons(ir: SceneIR, li: int, key, n: int, dtype):
 # photon tracing wavefront
 # ---------------------------------------------------------------------------
 
+# provenance event codes (chain factors for the live power recompute):
+# bit 2 (+4) marks "the traced value came from a pattern sample, not the
+# material table" — the recompute then uses the recorded sample with no
+# gradient (a pattern REPLACES the table entry, prepare_computations
+# slot_color), instead of the live table value.
+EV_NONE, EV_KD, EV_SPEC, EV_TRANS = 0, 1, 2, 3
+EV_MAPPED = 4
+
+
+def _slot_mapped(ir: SceneIR, mat, slot):
+    """(R,) bool: this lane's material samples a pattern for `slot`
+    (None when no scene material patterns that slot — static)."""
+    meta = ir.meta
+    if not meta.any_patterns or slot not in meta.pattern_slots:
+        return None
+    return ir.mat_map[mat, slot] >= 0
+
+
 def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
                        key):
     """Trace one photon batch through gi_path_length bounces.
 
-    Returns stacked per-level (pos, stored_power, inc_dir, store_mask)
-    with shapes (L*n, ...)."""
+    Returns stacked per-level (pos, stored_power, inc_dir, store_mask,
+    chain_mat, chain_code, chain_samp) with leading dim L*n.
+
+    The chain arrays are the PROVENANCE of each stored power: slot s<t
+    holds the RR branch event at bounce s (EV_KD: *Kd, EV_SPEC: /mean
+    refl, EV_TRANS: /mean Tf — photon_tracer.c:157-181 semantics), slot
+    t holds the store-hit Kd factor. live_photon_powers() replays the
+    chain against the LIVE material/light tables so d(stored power)/
+    d(mat_Kd, mat_refl, mat_Tf, light_intensity) exists — the photon
+    *structure* (positions, directions, storage decisions, RR draws)
+    stays frozen at its traced values, which is exactly the
+    discrete/continuous split of the wavefront design.
+    chain_samp is None unless some material patterns Kd or refl."""
     from fast_ray_tracer_tpu.render.integrator import (
         prepare_computations, refract_active, refract_direction,
     )
     cfg = rt.cfg
     n = orig.shape[0]
     dtype = orig.dtype
+    L = cfg.gi_path_length
     alive = jnp.ones((n,), bool)
     had_d = jnp.zeros((n,), bool)
     had_s = jnp.zeros((n,), bool)
+    track_samp = bool(ir.meta.any_patterns
+                      and (IR.SLOT_KD in ir.meta.pattern_slots
+                           or IR.SLOT_REFL in ir.meta.pattern_slots))
+    ch_mat = jnp.zeros((n, L), jnp.int32)
+    ch_code = jnp.zeros((n, L), jnp.int32)
+    ch_samp = jnp.zeros((n, L, 3), dtype) if track_samp else None
     outs = []
-    for step in range(cfg.gi_path_length):
+    for step in range(L):
         kkey = jax.random.fold_in(key, step)
         comps = prepare_computations(ir, rt, orig, dirs,
                                      shadow_filter=True)
@@ -152,8 +188,16 @@ def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
             store = alive & diffuse_ok & had_s
         else:
             store = alive & diffuse_ok & had_d
-        outs.append((comps.p, stored_power, dirs, store))
-        if step == cfg.gi_path_length - 1:
+        mat32 = comps.mat.astype(jnp.int32)
+        kd_mapped = _slot_mapped(ir, comps.mat, IR.SLOT_KD)
+        store_code = jnp.int32(EV_KD) if kd_mapped is None else \
+            jnp.where(kd_mapped, EV_KD + EV_MAPPED, EV_KD)
+        out_samp = None if ch_samp is None else ch_samp.at[:, step].set(kd)
+        outs.append((comps.p, stored_power, dirs, store,
+                     ch_mat.at[:, step].set(mat32),
+                     ch_code.at[:, step].set(store_code),
+                     out_samp))
+        if step == L - 1:
             break
 
         # russian roulette (photon_tracer.c:157-181): one uniform draws
@@ -187,6 +231,21 @@ def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
             go_d[:, None], stored_power,
             jnp.where(go_s[:, None], power / safe(avg_s)[:, None],
                       power / safe(avg_t)[:, None]))
+        # record the branch event in the running chain
+        refl_mapped = _slot_mapped(ir, comps.mat, IR.SLOT_REFL)
+        code_d = store_code
+        code_s = jnp.int32(EV_SPEC) if refl_mapped is None else \
+            jnp.where(refl_mapped, EV_SPEC + EV_MAPPED, EV_SPEC)
+        branch_code = jnp.where(
+            go_d, code_d,
+            jnp.where(go_s, code_s,
+                      jnp.where(go_t, EV_TRANS, EV_NONE)))
+        ch_mat = ch_mat.at[:, step].set(mat32)
+        ch_code = ch_code.at[:, step].set(branch_code)
+        if ch_samp is not None:
+            ch_samp = ch_samp.at[:, step].set(
+                jnp.where(go_d[:, None], kd,
+                          jnp.where(go_s[:, None], comps.over_refl, 0.0)))
         had_d = had_d | (alive & go_d)
         had_s = had_s | (alive & (go_s | go_t))
         alive = alive & (go_d | go_s | go_t)
@@ -199,7 +258,10 @@ def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
     pw = jnp.concatenate([o[1] for o in outs])
     dr = jnp.concatenate([o[2] for o in outs])
     st = jnp.concatenate([o[3] for o in outs])
-    return pos, pw, dr, st
+    cm = jnp.concatenate([o[4] for o in outs])
+    cc = jnp.concatenate([o[5] for o in outs])
+    cs = None if not track_samp else jnp.concatenate([o[6] for o in outs])
+    return pos, pw, dr, st, cm, cc, cs
 
 
 P_PACK = 14      # photons per packed gather row (9*14 = 126 of 128 cols)
@@ -242,6 +304,25 @@ class PhotonMap(NamedTuple):
     dims: Tuple[int, int, int]
     n: int
     flat_rows: int = 0       # per-query flat row budget (0 = capped)
+    # --- differentiable stored power (optional provenance block) ------
+    # with_live_power() replays prov_* against the LIVE ir tables and
+    # re-packs the power columns on device, so d(irradiance)/d(mat_Kd,
+    # mat_refl, mat_Tf, light_intensity) flows through the map while
+    # photon positions/directions/structure stay frozen (stop-gradient
+    # by construction: they are host-built numpy constants).
+    prov_light: Optional[jnp.ndarray] = None  # (N,) i32 emitting light
+    prov_mat: Optional[jnp.ndarray] = None    # (N,L) i32 event material
+    prov_code: Optional[jnp.ndarray] = None   # (N,L) i32 EV_* codes
+    prov_samp: Optional[jnp.ndarray] = None   # (N,L,3) pattern samples
+    slot_photon: Optional[jnp.ndarray] = None  # (rows,P) i32 -> photon
+                                               # index; N = dead lane
+    ovf_photon: Optional[jnp.ndarray] = None   # (N_ovf_pad,) i32
+    power_div: float = 1.0                     # photon_count (divisor —
+                                               # division, not reciprocal
+                                               # multiply, so the live
+                                               # recompute reproduces the
+                                               # host 1/num scaling
+                                               # bit-for-bit)
 
 
 def _neighborhood_row_max(rc3: np.ndarray) -> int:
@@ -259,7 +340,9 @@ def _neighborhood_row_max(rc3: np.ndarray) -> int:
 
 def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
                      radius: float, dtype,
-                     layout: Optional[str] = None) -> Optional[PhotonMap]:
+                     layout: Optional[str] = None,
+                     prov: Optional[dict] = None,
+                     power_div: float = 1.0) -> Optional[PhotonMap]:
     """Host-side grid build: cell edge = search radius so a query touches
     exactly the 27 neighboring cells. Exact coverage either way (hides 0
     photons); `layout` forces "flat" / "capped" (tests), default picks
@@ -278,6 +361,9 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
     cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
     order = np.argsort(cid, kind="stable")
     pos, power, dirs, cid = pos[order], power[order], dirs[order], cid[order]
+    if prov is not None:
+        prov = {k: (None if v is None else np.asarray(v)[order])
+                for k, v in prov.items()}
     n_cells = int(dims[0] * dims[1] * dims[2])
     counts = np.bincount(cid, minlength=n_cells)
     start = np.zeros(n_cells + 1, np.int64)
@@ -330,6 +416,24 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
         ovf_pow[:n_ovf] = power[~main]
         ovf_dir[:n_ovf] = dirs[~main]
 
+    prov_fields = {}
+    if prov is not None:
+        idx_all = np.arange(n)
+        slot_photon = np.full((max(total_rows, 1), P_PACK), n, np.int32)
+        slot_photon[row_of, lane] = idx_all[main]
+        ovf_photon = np.full((n_pad,), n, np.int32)
+        ovf_photon[:n_ovf] = idx_all[~main]
+        prov_fields = dict(
+            prov_light=jnp.asarray(prov["light"], jnp.int32),
+            prov_mat=jnp.asarray(prov["mat"], jnp.int32),
+            prov_code=jnp.asarray(prov["code"], jnp.int32),
+            prov_samp=(None if prov.get("samp") is None
+                       else jnp.asarray(prov["samp"], dtype)),
+            slot_photon=jnp.asarray(slot_photon, jnp.int32),
+            ovf_photon=jnp.asarray(ovf_photon, jnp.int32),
+            power_div=float(power_div),
+        )
+
     if use_flat:
         print(f"photon grid: {n} photons, flat layout "
               f"({flat_budget}-row query budget = worst neighborhood; "
@@ -348,7 +452,67 @@ def build_photon_map(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
         ovf_dir=jnp.asarray(ovf_dir, dtype),
         grid_origin=tuple(float(x) for x in origin),
         cell_size=float(radius), dims=tuple(int(x) for x in dims),
-        n=n)
+        n=n, **prov_fields)
+
+
+def live_photon_powers(pm: PhotonMap, ir: SceneIR):
+    """Replay each stored photon's provenance chain against the LIVE
+    material/light tables -> (N,3) stored powers, differentiable w.r.t.
+    ir.light_intensity / mat_Kd / mat_refl / mat_Tf.
+
+    Mirrors the traced power chain exactly (photon_bounce_wave): power
+    starts at the emitting light's intensity, each EV_KD event multiplies
+    by the hit Kd, EV_SPEC divides by the channel-mean reflectance,
+    EV_TRANS by the channel-mean Tf (reference RR normalization quirks,
+    photon_tracer.c:157-181), and the final chain slot is the store-hit
+    Kd. EV_MAPPED events use the recorded pattern sample (stop-gradient:
+    a pattern REPLACES the table value, so the true derivative w.r.t. the
+    table entry is zero)."""
+    dtype = ir.light_intensity.dtype
+    L = pm.prov_mat.shape[1]
+    pw = ir.light_intensity[pm.prov_light].astype(dtype)
+    safe = lambda a: jnp.where(a > 0, a, 1.0)
+    for step in range(L):
+        mat = pm.prov_mat[:, step]
+        code = pm.prov_code[:, step]
+        base = code % EV_MAPPED
+        mapped = code >= EV_MAPPED
+        kd = ir.mat_Kd[mat]
+        refl = ir.mat_refl[mat]
+        if pm.prov_samp is not None:
+            samp = pm.prov_samp[:, step]
+            kd = jnp.where(mapped[:, None], samp, kd)
+            refl = jnp.where(mapped[:, None], samp, refl)
+        inv_s = (1.0 / safe(jnp.mean(refl, axis=-1)))[:, None]
+        inv_t = (1.0 / safe(jnp.mean(ir.mat_Tf[mat], axis=-1)))[:, None]
+        f = jnp.where((base == EV_KD)[:, None], kd,
+                      jnp.where((base == EV_SPEC)[:, None], inv_s,
+                                jnp.where((base == EV_TRANS)[:, None],
+                                          inv_t, 1.0)))
+        pw = pw * f
+    return pw / jnp.asarray(pm.power_div, dtype)
+
+
+def with_live_power(pm: Optional[PhotonMap], ir: SceneIR):
+    """PhotonMap whose power columns are a live function of `ir` (see
+    live_photon_powers): the packed rows and the overflow block get their
+    power fields re-gathered from the recomputed (N,3) table through the
+    build-time placement indices. Everything else (positions, directions,
+    grid geometry, dead lanes) keeps the host-built constants. Returns
+    `pm` unchanged when it carries no provenance."""
+    if pm is None or pm.prov_mat is None:
+        return pm
+    P = P_PACK
+    pw = live_photon_powers(pm, ir).astype(pm.packed.dtype)
+    pad = jnp.concatenate([pw, jnp.zeros((1, 3), pw.dtype)])
+    cols = pad[pm.slot_photon]                       # (rows, P, 3)
+    power_cols = jnp.concatenate(
+        [cols[..., 0], cols[..., 1], cols[..., 2]], axis=-1)
+    packed = jnp.concatenate(
+        [pm.packed[:, :3 * P], power_cols, pm.packed[:, 6 * P:]], axis=-1)
+    return pm._replace(packed=packed,
+                       ovf_power=pad[pm.ovf_photon].astype(
+                           pm.ovf_power.dtype))
 
 
 _BATCH_LADDER = (16384, 65536, 262144, 1048576)
@@ -393,32 +557,29 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
         # (ops/intersect._mesh_gather_reduce)
         ladder = tuple(b for b in _BATCH_LADDER if b <= 65536)
     else:
-        # TPU: skip the small probe rung — each distinct batch shape is
-        # a separate compile through the remote tunnel, and a 64k first
-        # batch measures the store rate just as well
-        ladder = _BATCH_LADDER[1:]
+        # TPU, analytic scene: ONE batch size for the whole pass, sized
+        # so the typical store rate covers the target in a single
+        # dispatch — every distinct batch shape is a separate compile
+        # through the remote tunnel, and the per-batch host sync costs a
+        # ~26 ms round trip; the bounce itself is cheap at this scale
+        ladder = (min(_BATCH_LADDER[-1],
+                      max(131072, -(-3 * total_target // 65536) * 65536)),)
 
-    step_fn = jax.jit(partial(photon_bounce_wave, ir, rt),
-                      static_argnums=(0,))
-
-    @jax.jit
-    def append_stores(pos, pw, dr, st, bufs, count, limit):
+    def append_stores(vals, st, bufs, count, limit):
         """Compact this batch's stores and write them at [count, ...),
         truncating exactly at `limit` (the reference stops a light's
         tracing loop the moment its target count is stored)."""
-        b_pos, b_pw, b_dr = bufs
         rank = jnp.cumsum(st.astype(jnp.int32)) - 1
         dst = count + rank
         ok = st & (dst < limit)
         # mode='drop' discards writes from masked lanes (dst set to buffer
         # size for them) — no host round-trip, no dynamic shapes
-        dst = jnp.where(ok, dst, b_pos.shape[0])
-        b_pos = b_pos.at[dst].set(pos, mode="drop")
-        b_pw = b_pw.at[dst].set(pw, mode="drop")
-        b_dr = b_dr.at[dst].set(dr, mode="drop")
+        dst = jnp.where(ok, dst, bufs[0].shape[0])
+        bufs = tuple(b.at[dst].set(v, mode="drop")
+                     for b, v in zip(bufs, vals))
         new_count = jnp.minimum(count + jnp.sum(st.astype(jnp.int32)),
                                 limit)
-        return (b_pos, b_pw, b_dr), new_count
+        return bufs, new_count
 
     def pick_batch(deficit, rate):
         """Smallest ladder rung expected to cover the deficit (with
@@ -431,14 +592,54 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
                 return b
         return ladder[-1]
 
+    fused = {}
+
+    def fused_step(map_type, li, b):
+        """ONE compiled program per (map, light, batch size): emission +
+        the full bounce wavefront + store compaction/append. The host
+        syncs exactly one scalar per dispatch (the running count)."""
+        kk = (map_type, li, b)
+        if kk not in fused:
+            def f(k, bufs, count, limit, _m=map_type, _li=li, _b=b):
+                o, d = emit_photons(ir, _li, k, _b, dtype)
+                power = jnp.broadcast_to(
+                    ir.light_intensity[_li][None], (_b, 3)).astype(dtype)
+                pos, pw, dr, st, cm, cc, cs = photon_bounce_wave(
+                    ir, rt, _m, o, d, power, jax.random.fold_in(k, 1))
+                vals = [pos, pw, dr, cm, cc,
+                        jnp.full(st.shape, _li, jnp.int32)]
+                if track_samp:
+                    vals.append(cs)
+                return append_stores(tuple(vals), st, bufs, count, limit)
+            fused[kk] = jax.jit(f)
+        return fused[kk]
+
+    L = cfg.gi_path_length
+    track_samp = bool(ir.meta.any_patterns
+                      and (IR.SLOT_KD in ir.meta.pattern_slots
+                           or IR.SLOT_REFL in ir.meta.pattern_slots))
     maps = {}
     for map_type, enabled in ((CAUSTIC, caustic), (GLOBAL, global_)):
         if not enabled:
             maps[map_type] = None
             continue
-        bufs = (jnp.zeros((total_target, 3), dtype),
+        if map_type == CAUSTIC and not (ir.meta.has_reflective
+                                        or ir.meta.has_refractive):
+            # the caustic map stores only after a specular bounce
+            # (photon_tracer.c:139-143); a scene with no reflective and
+            # no transmissive material can never take one — skip the
+            # stall loop (16 full dead traces) outright
+            maps[map_type] = None
+            continue
+        bufs = [jnp.zeros((total_target, 3), dtype),
                 jnp.zeros((total_target, 3), dtype),
-                jnp.zeros((total_target, 3), dtype))
+                jnp.zeros((total_target, 3), dtype),
+                jnp.zeros((total_target, L), jnp.int32),
+                jnp.zeros((total_target, L), jnp.int32),
+                jnp.zeros((total_target,), jnp.int32)]
+        if track_samp:
+            bufs.append(jnp.zeros((total_target, L, 3), dtype))
+        bufs = tuple(bufs)
         count = jnp.int32(0)
         it = 0
         for li in range(ir.meta.n_lights):
@@ -451,13 +652,8 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
             while got < limit:
                 k = jax.random.fold_in(key, 7919 * map_type + 31 * li + it)
                 it += 1
-                o, d = emit_photons(ir, li, k, b, dtype)
-                power = jnp.broadcast_to(ir.light_intensity[li][None],
-                                         (b, 3)).astype(dtype)
-                pos, pw, dr, st = step_fn(map_type, o, d, power,
-                                          jax.random.fold_in(k, 1))
-                bufs, count = append_stores(pos, pw, dr, st, bufs, count,
-                                            jnp.int32(limit))
+                bufs, count = fused_step(map_type, li, b)(
+                    k, bufs, count, jnp.int32(limit))
                 emitted += b
                 new_got = int(count)        # one scalar sync per batch
                 stalls = stalls + 1 if new_got == got else 0
@@ -470,8 +666,14 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
             pos = np.asarray(bufs[0][:n_stored])
             pw = np.asarray(bufs[1][:n_stored]) / float(num_photons)
             dr = np.asarray(bufs[2][:n_stored])
+            prov = {"light": np.asarray(bufs[5][:n_stored]),
+                    "mat": np.asarray(bufs[3][:n_stored]),
+                    "code": np.asarray(bufs[4][:n_stored]),
+                    "samp": (np.asarray(bufs[6][:n_stored])
+                             if track_samp else None)}
             maps[map_type] = build_photon_map(
-                pos, pw, dr, cfg.irradiance_estimate_radius, dtype)
+                pos, pw, dr, cfg.irradiance_estimate_radius, dtype,
+                prov=prov, power_div=float(num_photons))
         else:
             maps[map_type] = None
     return maps
@@ -483,14 +685,17 @@ def trace_photons(ir: SceneIR, rt, key, dtype,
 
 def _query_block(pm: "PhotonMap") -> int:
     """Queries per lax.map block: bound the cached candidate distance
-    table (~600MB on a 16GB TPU chip, 150MB on host CPU) regardless of
-    the map's density — too small a block serializes the gather batch
-    into dozens of lax.map steps."""
+    table (3.75% of device memory — 600 MB on a 16 GB chip; 150 MB on
+    host CPU; override FRT_PM_QUERY_BUDGET, bytes) regardless of the
+    map's density — too small a block serializes the gather batch into
+    dozens of lax.map steps."""
+    from fast_ray_tracer_tpu.utils import memory_budget
     if pm.flat_rows:
         m = max(1, pm.flat_rows * P_PACK)
     else:
         m = max(1, 27 * pm.cap_rows * P_PACK + pm.ovf_pos.shape[0])
-    budget = 150e6 if jax.default_backend() == "cpu" else 600e6
+    budget = memory_budget(0.0375, 150e6, "FRT_PM_QUERY_BUDGET",
+                           device_default=600e6)
     return int(min(16384, max(1024, budget / 4 / m)))
 
 
@@ -664,7 +869,11 @@ def _irradiance_block(pm: PhotonMap, points, eyev, num: int,
         sel = d2 <= r2[:, None]                        # inf never selected
         front = (dir_xyz[0] * eyev[:, 0:1] + dir_xyz[1] * eyev[:, 1:2]
                  + dir_xyz[2] * eyev[:, 2:3]) < 0.0
-        w = 1.0 - jnp.sqrt(jnp.maximum(jnp.where(sel, d2, 0.0), 0.0)) \
+        # unselected lanes route through sqrt(1), not sqrt(0): sqrt'(0)
+        # is inf and the outer where's 0-cotangent times inf poisons the
+        # whole backward with NaN (d2 carries gradient via the query
+        # points' geometry chain). Masked forward values are unchanged.
+        w = 1.0 - jnp.sqrt(jnp.maximum(jnp.where(sel, d2, 1.0), 0.0)) \
             * inv_kd
         wm = jnp.where(sel & front, w, 0.0)
         return jnp.stack([jnp.sum(wm * pw_xyz[0], -1),
@@ -763,26 +972,37 @@ def final_gather(ir: SceneIR, rt, pm_global: PhotonMap, comps, key, cfg):
     return total * comps.over_Kd
 
 
-def make_gi_hook(pmaps, cfg):
+def make_gi_hook(pmaps, cfg, live_power: bool = False):
     """The RenderStatics.gi_hook consumed by shade_direct (integrator.py):
     returns the ambient-channel GI addition per shading point (clamp
     applied there). render.py attaches it via rt._replace after the
-    photon pass — the ConfigDesc itself is never mutated."""
+    photon pass — the ConfigDesc itself is never mutated.
+
+    live_power=True re-derives the stored photon powers from the live
+    `ir` inside the traced program (with_live_power), so pixel gradients
+    flow through the photon map to mat_Kd/mat_refl/mat_Tf and
+    light_intensity — the mode the GI train step and the fwd+bwd bench
+    use. Forward rendering keeps the host-packed constants (byte-stable,
+    zero per-chunk recompute)."""
     pm_caustic = pmaps.get(CAUSTIC)
     pm_global = pmaps.get(GLOBAL)
 
     def hook(ir, rt, comps, key):
         R = comps.p.shape[0]
+        pmg, pmc = pm_global, pm_caustic
+        if live_power:
+            pmg = with_live_power(pmg, ir)
+            pmc = with_live_power(pmc, ir)
         add = jnp.zeros((R, 3), comps.p.dtype)
         gate = jnp.any(comps.over_Kd > 0.0, -1)
-        if cfg.visualize_photon_map and pm_global is not None:
-            add = add + lighting_gi(ir, rt, pm_global, comps, cfg)
-        if cfg.include_final_gather and pm_global is not None:
+        if cfg.visualize_photon_map and pmg is not None:
+            add = add + lighting_gi(ir, rt, pmg, comps, cfg)
+        if cfg.include_final_gather and pmg is not None:
             k = key if key is not None else jax.random.PRNGKey(0)
-            add = add + final_gather(ir, rt, pm_global, comps,
+            add = add + final_gather(ir, rt, pmg, comps,
                                      jax.random.fold_in(k, 99), cfg)
-        if cfg.include_caustics and pm_caustic is not None:
-            add = add + lighting_caustics(ir, rt, pm_caustic, comps, cfg)
+        if cfg.include_caustics and pmc is not None:
+            add = add + lighting_caustics(ir, rt, pmc, comps, cfg)
         return jnp.where(gate[:, None], add, 0.0)
 
     return hook

@@ -42,18 +42,33 @@ def _bucket_cache_path():
 
 
 def _bucket_cache_key(ir, cfg, W, H, chunk_pixels, dtype, path_length):
-    """Content hash over everything spawn counts can depend on: full
-    scene tensors + static meta + config + render geometry."""
+    """Descriptor hash over everything spawn counts can depend on: static
+    meta + config + render geometry + a cheap per-leaf fingerprint.
+
+    Big leaves (a 141k-tri mesh is ~100 MB of tensors) are fingerprinted
+    by shape/dtype + a 64 KB strided sample + head/tail slices instead of
+    hashing every byte — render startup used to sha1 the full scene per
+    invocation. A colliding stale entry is harmless by design: buckets
+    only seed the calibration, and the overflow-escalation path detects
+    and rewrites an undersized tuple."""
     import hashlib
     h = hashlib.sha1()
     h.update(repr(ir.meta).encode())
     h.update(repr(cfg).encode())
     h.update(f"{W}x{H}:{chunk_pixels}:{jnp.dtype(dtype).name}"
-             f":{path_length}:v1".encode())
+             f":{path_length}:v2".encode())
+    SMALL = 1 << 20
     for leaf in jax.tree_util.tree_leaves(ir):
         a = np.asarray(leaf)
-        h.update(str(a.shape).encode())
-        h.update(a.tobytes())
+        h.update(f"{a.shape}{a.dtype}".encode())
+        if a.nbytes <= SMALL:
+            h.update(a.tobytes())
+        else:
+            flat = a.reshape(-1)
+            step = max(1, flat.size // 8192)
+            h.update(np.ascontiguousarray(flat[::step][:8192]).tobytes())
+            h.update(np.ascontiguousarray(flat[:2048]).tobytes())
+            h.update(np.ascontiguousarray(flat[-2048:]).tobytes())
     return h.hexdigest()
 
 
@@ -90,16 +105,40 @@ def _bucket_cache_put(key, buckets):
 
 def pixel_colors(ir: SceneIR, rt, cam_rt, px_r, py_r, uv_r, ap,
                  n_samples: int, path_length: int, key=None,
-                 remat: bool = False):
+                 remat=False, buckets=None):
     """Pure forward: pixel ids (+ subpixel uv, aperture offsets), repeated
     n_samples times per pixel -> (n_pixels, 3) linear canvas colors.
 
     This is the differentiable render core shared by render_scene and the
     training step (parallel/train.py): per-sample color_at, per-pixel
-    average, final (A + D + S) / 3 (renderer.c:174-230). `remat=True`
-    checkpoints each wavefront level for the backward pass."""
+    average, final (A + D + S) / 3 (renderer.c:174-230). `remat`
+    checkpoints each wavefront level for the backward pass (see
+    integrator._make_level_fn for the mode strings).
+
+    `buckets` (a per-level size tuple from integrator.calibrate_buckets /
+    default_buckets) routes through the compacted static-bucket wavefront
+    instead of the 2^depth unrolled trace — the difference between a
+    ~10R-lane and a 63R-lane backward graph at depth 5, which is what
+    made full-frame fwd+bwd fit on-chip. Compaction is differentiable
+    (nonzero gathers; the upward combine re-gathers), and per-lane
+    arithmetic matches `trace` exactly; overflow lanes would be dropped,
+    so calibrate with margin (the forward render path's escalation logic
+    covers production renders)."""
     orig, dirs = rays_for_pixels(cam_rt, px_r, py_r, uv_r, ap)
-    triple = color_at(ir, rt, orig, dirs, path_length, key, remat=remat)
+    if buckets is not None:
+        # value gates stay ON even under differentiation: ungated
+        # spawning admits every refract_active lane (over_d > 0 holds
+        # for all opaque hits), which regrows the 2^depth graph the
+        # buckets exist to avoid. Consequence (documented, tested): a
+        # material whose refl/Tf is EXACTLY zero has subgradient 0
+        # through the specular subtree — the one-sided derivative at
+        # the prune boundary. Entries with any nonzero channel get
+        # exact gradients.
+        triple, _ovf = trace_bucketed(ir, rt, orig, dirs, path_length,
+                                      key, list(buckets), remat=remat)
+    else:
+        triple = color_at(ir, rt, orig, dirs, path_length, key,
+                          remat=remat)
     n = px_r.shape[0] // n_samples
     a = triple.a.reshape(n, n_samples, 3).mean(axis=1)
     d = triple.d.reshape(n, n_samples, 3).mean(axis=1)
@@ -427,18 +466,28 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
     total = W * H
     if ir.meta.use_clusters:
         from ..ops import mesh_pallas
-        if mesh_pallas.enabled(ir, dtype, aux_planes=2):
+        # refractive clustered scenes run mesh_containers on the jnp fold
+        # even when the Pallas intersector handles closest/shadow, so the
+        # fold's memory profile governs whenever needs_hit_sort is set
+        pallas_only = (mesh_pallas.enabled(ir, dtype, aux_planes=2)
+                       and not ir.meta.needs_hit_sort)
+        if pallas_only:
             # Pallas mesh path: the only per-ray mesh temps are the
-            # (R, Nsc) shortlist masks — 4x bigger chunks fit easily
-            cap = max(8192, 32768 // max(1, ir.meta.max_light_samples // 4))
+            # (R, Nsc) shortlist masks — 4x bigger rays/chunk fit easily
+            cap_rays = max(8192,
+                           32768 // max(1, ir.meta.max_light_samples // 4))
         else:
             # jnp fold programs hold (blocks x B x Nc) and
             # (blocks x B x K*C) fold temps per level per light; beyond
-            # ~8k-pixel chunks the composed program OOMs device memory /
+            # ~8k rays/chunk the composed program OOMs device memory /
             # faults the remote TPU worker, so cap the chunk (and scale
             # down with per-light shadow samples)
-            cap = max(2048, 8192 // max(1, ir.meta.max_light_samples // 4))
-        chunk_pixels = min(chunk_pixels, cap)
+            cap_rays = max(2048,
+                           8192 // max(1, ir.meta.max_light_samples // 4))
+        # the caps bound RAYS per chunk; each pixel launches S camera
+        # samples, so divide the pixel cap by S (a 2x2-AA clustered chunk
+        # previously reached 4x the intended ray batch)
+        chunk_pixels = min(chunk_pixels, max(256, cap_rays // S))
     if mesh is not None:
         ndev = int(np.prod(mesh.devices.shape))
         chunk_pixels = -(-chunk_pixels // ndev) * ndev   # divisible shards

@@ -120,12 +120,78 @@ def test_shadow_parity(monkeypatch):
 
 
 def test_vmem_budget_fallback(monkeypatch):
-    """Meshes beyond the VMEM budget must take the jnp fold."""
+    """Soups beyond the VMEM budget stay enabled (the STREAMING kernel
+    takes over — no size cliff); only the SMEM-shortlist cap (~2.1M
+    tris) or a non-f32 dtype fall back to the jnp fold."""
     monkeypatch.setenv("FRT_MESH_PALLAS", "interpret")
     ir = _soup()
-    big = SceneMeta(n_triangles=1 << 21, use_clusters=True,
-                    n_clusters=(1 << 21) // C, cluster_size=C)
+    over_vmem = SceneMeta(n_triangles=1 << 20, use_clusters=True,
+                          n_clusters=(1 << 20) // C, cluster_size=C)
+    huge = SceneMeta(n_triangles=1 << 22, use_clusters=True,
+                     n_clusters=(1 << 22) // C, cluster_size=C)
     assert mesh_pallas.enabled(ir, jnp.float32, aux_planes=1)
+    assert mesh_pallas._resident_fits(ir, 1)
+    assert mesh_pallas.enabled(
+        SceneIR(meta=over_vmem), jnp.float32, aux_planes=1)
+    assert not mesh_pallas._resident_fits(SceneIR(meta=over_vmem), 1)
     assert not mesh_pallas.enabled(
-        SceneIR(meta=big), jnp.float32, aux_planes=1)
+        SceneIR(meta=huge), jnp.float32, aux_planes=1)
     assert not mesh_pallas.enabled(ir, jnp.float64, aux_planes=1)
+
+
+@pytest.fixture
+def force_streaming(monkeypatch):
+    """Tiny VMEM budget: the fixture soup must take the streaming
+    (DMA-ring) kernel instead of the resident one."""
+    monkeypatch.setenv("FRT_MESH_PALLAS_VMEM", "1024")
+    yield
+    monkeypatch.delenv("FRT_MESH_PALLAS_VMEM", raising=False)
+
+
+def test_streaming_closest_parity(monkeypatch, force_streaming):
+    ir = _soup()
+    assert not mesh_pallas._resident_fits(ir, 0)
+    o, d = _rays()
+    (t_ref, i_ref), (t_got, i_got) = _both(
+        monkeypatch, lambda: intersect.mesh_closest(ir, o, d))
+    t_ref, i_ref, t_got, i_got = map(np.asarray,
+                                     (t_ref, i_ref, t_got, i_got))
+    assert (np.isfinite(t_ref) == np.isfinite(t_got)).all()
+    hit = np.isfinite(t_ref)
+    assert hit.sum() > 20
+    np.testing.assert_allclose(t_got[hit], t_ref[hit], rtol=1e-6)
+    diff = hit & (i_ref != i_got)
+    if diff.any():
+        np.testing.assert_allclose(t_ref[diff], t_got[diff], rtol=1e-6)
+
+
+def test_streaming_closest_keep_parity(monkeypatch, force_streaming):
+    ir = _soup(seed=3)
+    o, d = _rays(seed=4)
+    keep = jnp.asarray(np.random.default_rng(5).random(NT) < 0.5)
+    (t_ref, i_ref), (t_got, i_got) = _both(
+        monkeypatch, lambda: intersect.mesh_closest(ir, o, d, keep=keep))
+    t_ref, t_got = np.asarray(t_ref), np.asarray(t_got)
+    assert (np.isfinite(t_ref) == np.isfinite(t_got)).all()
+    hit = np.isfinite(t_ref)
+    np.testing.assert_allclose(t_got[hit], t_ref[hit], rtol=1e-6)
+    kept = np.asarray(keep)[np.asarray(i_got)[hit]]
+    assert kept.all()
+
+
+def test_streaming_shadow_parity(monkeypatch, force_streaming):
+    ir = _soup(seed=7)
+    o, d = _rays(seed=8)
+    rng = np.random.default_rng(9)
+    tri_rank = jnp.asarray(
+        np.repeat(rng.permutation(NC * 2) * 100, C // 2).astype(np.int32))
+    tri_shadow = jnp.asarray(rng.random(NT) < 0.7)
+    (r_ref, t_ref), (r_got, t_got) = _both(
+        monkeypatch,
+        lambda: intersect.mesh_shadow_reduce(ir, tri_rank, tri_shadow, o, d))
+    r_ref, t_ref, r_got, t_got = map(np.asarray,
+                                     (r_ref, t_ref, r_got, t_got))
+    np.testing.assert_array_equal(r_got, r_ref)
+    fin = np.isfinite(t_ref)
+    assert (np.isfinite(t_got) == fin).all()
+    np.testing.assert_allclose(t_got[fin], t_ref[fin], rtol=1e-6)
