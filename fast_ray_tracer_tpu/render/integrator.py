@@ -150,7 +150,30 @@ class Comps(NamedTuple):
     over_refl: jnp.ndarray
     over_Ns: jnp.ndarray       # (R,)
     over_d: jnp.ndarray        # (R,) dissolve = 1 - Tr (or map_d sample)
+    tf: jnp.ndarray            # (R,3) mat_Tf[mat] (pre-looked-up)
+    tr: jnp.ndarray            # (R,)  mat_Tr[mat]
+    refl_flag: jnp.ndarray     # (R,)  mat_reflective[mat]
     ctx: ShapeCtx
+
+
+_SELECT_MAX = 96    # material tables up to this many rows take the fused
+# select-chain lookup; beyond it the per-ray row gather wins again
+
+
+def _rows_by_index(table, idx):
+    """table[idx] for a SMALL table via a static select chain.
+
+    TPU random row-gathers run at a fixed ~0.33G rows/s regardless of row
+    width (the per-op profile put the six per-level material gathers at
+    ~16 ms/frame on the flagship); a chain of M broadcast-row selects
+    fuses into ONE elementwise pass over the batch that streams at
+    bandwidth. Exact (pure selects — no arithmetic on the values) and
+    differentiable (each where routes cotangents to its row)."""
+    M = table.shape[0]
+    out = jnp.broadcast_to(table[0][None], (idx.shape[0], table.shape[1]))
+    for m in range(1, M):
+        out = jnp.where((idx == m)[:, None], table[m][None], out)
+    return out
 
 
 def _dot(a, b):
@@ -177,6 +200,35 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
     ctx = build_shape_ctx(ir, prim)
     mat = rt.prim_mat[prim]
 
+    # ONE packed lookup for every per-material quantity this level needs
+    # (constants for the 6 map slots + Tf/Tr/reflective for the specular
+    # combine + the pattern ids). Small scenes take the fused select
+    # chain; large material tables keep the row gather.
+    dt = orig.dtype
+    nm = int(ir.mat_Ka.shape[0])
+    pid_slots = tuple(meta.pattern_slots) if meta.any_patterns else ()
+    if nm <= _SELECT_MAX:
+        cols = [ir.mat_Ka, ir.mat_Kd, ir.mat_Ks, ir.mat_refl,
+                ir.mat_Ns[:, None], ir.mat_Tr[:, None], ir.mat_Tf,
+                ir.mat_reflective[:, None].astype(dt)]
+        for s in pid_slots:
+            # pattern ids are small ints (>= -1): exact in the working
+            # float dtype, recovered with astype below
+            cols.append(ir.mat_map[:, s][:, None].astype(dt))
+        vals = _rows_by_index(jnp.concatenate(cols, axis=1), mat)
+        m_Ka, m_Kd = vals[:, 0:3], vals[:, 3:6]
+        m_Ks, m_refl = vals[:, 6:9], vals[:, 9:12]
+        m_Ns, m_Tr, m_Tf = vals[:, 12], vals[:, 13], vals[:, 14:17]
+        refl_flag = vals[:, 17] > 0.5
+        pids = {s: vals[:, 18 + k].astype(jnp.int32)
+                for k, s in enumerate(pid_slots)}
+    else:
+        m_Ka, m_Kd, m_Ks = ir.mat_Ka[mat], ir.mat_Kd[mat], ir.mat_Ks[mat]
+        m_refl, m_Ns = ir.mat_refl[mat], ir.mat_Ns[mat]
+        m_Tr, m_Tf = ir.mat_Tr[mat], ir.mat_Tf[mat]
+        refl_flag = ir.mat_reflective[mat]
+        pids = {s: ir.mat_map[mat, s] for s in pid_slots}
+
     # triangle barycentric uv (for smooth normals / uv maps)
     if meta.n_triangles:
         na = meta.n_analytic
@@ -189,7 +241,7 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
         u = jnp.zeros_like(t)
         v = jnp.zeros_like(t)
 
-    bump_pid = ir.mat_map[mat, IR.SLOT_BUMP] if meta.any_bump else None
+    bump_pid = pids[IR.SLOT_BUMP] if meta.any_bump else None
     normalv = normal_at(ir, ctx, prim, p, u, v, mat_bump_pid=bump_pid)
     inside = _dot(normalv, eyev) < 0.0
     normalv = jnp.where(inside[:, None], -normalv, normalv)
@@ -229,17 +281,17 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
     def slot_color(slot, const):
         if not meta.any_patterns or slot not in meta.pattern_slots:
             return const
-        pid = ir.mat_map[mat, slot]
+        pid = pids[slot]
         patc = eval_pattern(ir, pid, ctx, over_point)
         return jnp.where((pid >= 0)[:, None], patc, const)
 
-    over_Ka = slot_color(IR.SLOT_KA, ir.mat_Ka[mat])
-    over_Kd = slot_color(IR.SLOT_KD, ir.mat_Kd[mat])
-    over_Ks = slot_color(IR.SLOT_KS, ir.mat_Ks[mat])
-    over_refl = slot_color(IR.SLOT_REFL, ir.mat_refl[mat])
-    over_Ns = slot_color(IR.SLOT_NS, ir.mat_Ns[mat][:, None] *
+    over_Ka = slot_color(IR.SLOT_KA, m_Ka)
+    over_Kd = slot_color(IR.SLOT_KD, m_Kd)
+    over_Ks = slot_color(IR.SLOT_KS, m_Ks)
+    over_refl = slot_color(IR.SLOT_REFL, m_refl)
+    over_Ns = slot_color(IR.SLOT_NS, m_Ns[:, None] *
                          jnp.ones((1, 3), t.dtype))[:, 0]
-    over_d = slot_color(IR.SLOT_D, (1.0 - ir.mat_Tr[mat])[:, None] *
+    over_d = slot_color(IR.SLOT_D, (1.0 - m_Tr)[:, None] *
                         jnp.ones((1, 3), t.dtype))[:, 0]
 
     return Comps(valid=hit.valid, t=hit.t, prim=prim, p=p, eyev=eyev,
@@ -247,7 +299,7 @@ def prepare_computations(ir: SceneIR, rt: RenderStatics, orig, dirs,
                  under_point=under_point, n1=n1, n2=n2, inside=inside,
                  mat=mat, over_Ka=over_Ka, over_Kd=over_Kd, over_Ks=over_Ks,
                  over_refl=over_refl, over_Ns=over_Ns, over_d=over_d,
-                 ctx=ctx)
+                 tf=m_Tf, tr=m_Tr, refl_flag=refl_flag, ctx=ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +541,7 @@ def combine_specular(ir: SceneIR, rt: RenderStatics, comps: Comps,
     if reflected_raw is None or not ir.meta.has_reflective:
         reflected = Triple.zeros(R, dtype)
     else:
-        refl_flag = ir.mat_reflective[comps.mat] & comps.valid
+        refl_flag = comps.refl_flag & comps.valid
         c = Triple(reflected_raw.a * comps.over_refl,
                    reflected_raw.d * comps.over_refl,
                    reflected_raw.s * comps.over_refl)
@@ -499,13 +551,13 @@ def combine_specular(ir: SceneIR, rt: RenderStatics, comps: Comps,
         refracted = Triple.zeros(R, dtype)
     else:
         active = refract_active(comps)
-        tf = ir.mat_Tf[comps.mat]
+        tf = comps.tf
         f = tf * comps.over_d[:, None]
         c = Triple(refracted_raw.a * f, refracted_raw.d * f,
                    refracted_raw.s * f)
         refracted = c.mask(active)
 
-    both = ir.mat_reflective[comps.mat] & (comps.over_d < 1.0)
+    both = comps.refl_flag & (comps.over_d < 1.0)
     reflectance = schlick(comps)
     rf = jnp.where(both, reflectance, 1.0)[:, None]
     tf_ = jnp.where(both, 1.0 - reflectance, 1.0)[:, None]
@@ -514,7 +566,7 @@ def combine_specular(ir: SceneIR, rt: RenderStatics, comps: Comps,
                        refracted.s * tf_)
 
     surface = surface + reflected
-    dis = (ir.mat_Tr[comps.mat] > 0.0) & (comps.over_d > 0.0)
+    dis = (comps.tr > 0.0) & (comps.over_d > 0.0)
     f = jnp.where(dis, 1.0 - comps.over_d, 1.0)[:, None]
     surface = Triple(surface.a * f, surface.d * f, surface.s * f)
     return surface + refracted
@@ -614,7 +666,7 @@ def trace(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
             o_c, d_c = comps.over_point, comps.reflectv
             if neutralize:
                 o_c, d_c = neutralize_rays(
-                    o_c, d_c, ir.mat_reflective[comps.mat] & comps.valid)
+                    o_c, d_c, comps.refl_flag & comps.valid)
             children_o.append(o_c)
             children_d.append(d_c)
         if want_refr:
@@ -713,7 +765,7 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         # (test_bucketed_gradients_match_unrolled pins both behaviors).
         acts, os_, ds_ = [], [], []
         if want_refl:
-            refl_spawn = ir.mat_reflective[comps.mat] & comps.valid
+            refl_spawn = comps.refl_flag & comps.valid
             if value_gates:
                 refl_spawn &= jnp.any(comps.over_refl != 0.0, axis=-1)
             acts.append(refl_spawn)
@@ -722,8 +774,7 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         if want_refr:
             refr_spawn = refract_active(comps)
             if value_gates:
-                refr_spawn &= jnp.any(ir.mat_Tf[comps.mat] != 0.0,
-                                      axis=-1)
+                refr_spawn &= jnp.any(comps.tf != 0.0, axis=-1)
             acts.append(refr_spawn)
             os_.append(comps.under_point)
             ds_.append(refract_direction(comps))
@@ -809,7 +860,7 @@ def spawn_counts(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         comps = prepare_computations(ir, rt, cur_o, cur_d)
         acts, os_, ds_ = [], [], []
         if want_refl:
-            a = ir.mat_reflective[comps.mat] & comps.valid
+            a = comps.refl_flag & comps.valid
             if value_gates:
                 a &= jnp.any(comps.over_refl != 0.0, axis=-1)
             acts.append(a)
@@ -818,7 +869,7 @@ def spawn_counts(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         if want_refr:
             a = refract_active(comps)
             if value_gates:
-                a &= jnp.any(ir.mat_Tf[comps.mat] != 0.0, axis=-1)
+                a &= jnp.any(comps.tf != 0.0, axis=-1)
             acts.append(a)
             os_.append(comps.under_point)
             ds_.append(refract_direction(comps))

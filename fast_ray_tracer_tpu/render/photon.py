@@ -204,7 +204,7 @@ def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
         # the branch; caustic pass never bounces diffusely
         avg_d = jnp.mean(kd, axis=-1)
         avg_s = jnp.mean(comps.over_refl, axis=-1)
-        avg_t = jnp.mean(ir.mat_Tf[comps.mat], axis=-1)
+        avg_t = jnp.mean(comps.tf, axis=-1)
         if map_type == CAUSTIC:
             avg_d = jnp.zeros_like(avg_d)
         r = jax.random.uniform(jax.random.fold_in(kkey, 1), (n,), dtype)
@@ -214,8 +214,8 @@ def photon_bounce_wave(ir: SceneIR, rt, map_type: int, orig, dirs, power,
         go_s = ~go_d & (x < avg_d + avg_s)
         go_t = ~go_d & ~go_s & (x < total)
         # branch validity (reflect_photon_specular/refract_photon guards)
-        go_s = go_s & ir.mat_reflective[comps.mat]
-        go_t = go_t & (jnp.abs(ir.mat_Tr[comps.mat]) >= 1e-5) \
+        go_s = go_s & comps.refl_flag
+        go_t = go_t & (jnp.abs(comps.tr) >= 1e-5) \
             & refract_active(comps)
 
         d_diff, _ = cosine_hemisphere(jax.random.fold_in(kkey, 2),

@@ -60,47 +60,63 @@ def capture(trace_dir, R=320000):
         jax.block_until_ready(outs)
 
 
-def top_ops(trace_dir, n=15):
-    # the vendored _pb2 files predate the installed protobuf runtime;
-    # the pure-python implementation accepts them (slow is fine here)
-    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
-                          "python")
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+def top_ops(trace_dir, n=25, reps=6):
+    """Aggregate the jax.profiler Chrome-trace events by SOURCE LINE +
+    root tf_op. (tensorboard_plugin_profile's xplane converter is
+    version-skewed against the installed TF on this image, but the
+    trace.json.gz the profiler also writes carries per-fusion device
+    duration, bytes_accessed, hlo_category AND the python source line of
+    each fusion's root op — enough for the top-op table and better
+    attribution than raw fusion names.)"""
+    import collections
+    import gzip
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
-    assert paths, f"no xplane under {trace_dir}"
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [max(paths, key=os.path.getmtime)], "hlo_stats^", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    table = json.loads(data)
-    # gviz table: {cols: [...], rows: [{c: [{v: ...}, ...]}]}
-    cols = [c.get("label") or c.get("id") for c in table["cols"]]
+    assert paths, f"no trace.json.gz under {trace_dir}"
+    d = json.load(gzip.open(max(paths, key=os.path.getmtime)))
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in d["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, nm in pids.items() if "TPU" in nm or "device" in nm}
+    agg = collections.Counter()
+    byts = collections.Counter()
+    cats = {}
+    total = 0.0
+    for e in d["traceEvents"]:
+        if e.get("ph") != "X" or "dur" not in e or e.get("pid") not in dev:
+            continue
+        a = e.get("args", {})
+        nm = e.get("name", "")
+        if nm.startswith("jit_"):       # whole-program envelope event
+            total += e["dur"]
+            continue
+        src = a.get("source", "?")
+        key = (src, a.get("tf_op", "?").split("/")[-1].rstrip(":"))
+        agg[key] += e["dur"]
+        byts[key] += int(a.get("bytes_accessed", 0))
+        cats[key] = a.get("hlo_category", "")
     rows = []
-    for r in table["rows"]:
-        rows.append({c: (cell or {}).get("v")
-                     for c, cell in zip(cols, r["c"])})
-    key_time = next((c for c in cols if "self" in c.lower()
-                     and "time" in c.lower() and "%" not in c), None)
-    rows.sort(key=lambda r: -(r.get(key_time) or 0))
-    return cols, rows[:n], key_time
+    for key, us in agg.most_common(n):
+        ms = us / reps / 1e3
+        gbs = (byts[key] / reps) / (us / reps * 1e-6) / 1e9 if us else 0.0
+        rows.append({"source": key[0], "op": key[1], "ms_per_frame": ms,
+                     "gb_per_s": gbs, "category": cats[key]})
+    return rows, total / reps / 1e3
 
 
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/frt_topops"
     os.makedirs(trace_dir, exist_ok=True)
     capture(trace_dir)
-    cols, rows, key_time = top_ops(trace_dir)
-    name_c = next((c for c in cols if "expression" in c.lower()
-                   or "name" in c.lower()), cols[0])
-    cat_c = next((c for c in cols if "category" in c.lower()), None)
-    total = sum(r.get(key_time) or 0 for r in rows)
-    print(f"# top HLO ops by {key_time} (6 steady-state frames)")
+    rows, frame_ms = top_ops(trace_dir)
+    print(f"# top device ops by self time ({frame_ms:.1f} ms/frame, "
+          "6 steady-state frames)")
+    print(f"{'ms/frame':>9} {'GB/s':>7}  source [op] category")
     for r in rows:
-        t = r.get(key_time) or 0
-        nm = str(r.get(name_c))[:72]
-        cat = str(r.get(cat_c)) if cat_c else ""
-        print(f"{t:12.1f}  {cat:22s} {nm}")
+        src = r["source"].replace("/root/repo/", "")
+        print(f"{r['ms_per_frame']:9.2f} {r['gb_per_s']:7.1f}  "
+              f"{src} [{r['op']}] {r['category']}")
 
 
 if __name__ == "__main__":
