@@ -29,6 +29,7 @@ from fast_ray_tracer_tpu.ops.intersect import (
     mesh_containers, mesh_shadow_reduce, neutralize_rays,
     shadow_components, shadow_hit_early_exit, slot_tables, triangle_uv_at,
 )
+from fast_ray_tracer_tpu.ops import compact_pallas
 from fast_ray_tracer_tpu.ops.patterns import ShapeCtx, build_shape_ctx, eval_pattern
 from fast_ray_tracer_tpu.render.normals import normal_at
 from fast_ray_tracer_tpu.scene import ir as IR
@@ -784,24 +785,36 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         B = int(buckets[lvl]) if lvl < len(buckets) else n
         n_live = jnp.sum(act)
         overflow = overflow | (n_live > B)
-        (idx,) = jnp.nonzero(act, size=B, fill_value=src_o.shape[0])
-        # child-slot -> bucket position (shares the cumsum inside nonzero):
-        # the upward combine GATHERS child results through this instead of
-        # scatter-adding through idx — TPU scatters serialize, gathers don't
-        entry["pos"] = jnp.cumsum(act.astype(jnp.int32)) - 1
         entry["act"] = act
         entry["bucket"] = B
-        # ONE packed-row gather for both ray components: random/compacted
-        # gathers cost per ROW regardless of width up to 128 floats, and
-        # the per-op profile showed the split o/d gathers' staging copies
-        # on the big child arrays dominating the composed program
-        pad = jnp.concatenate(
-            [jnp.concatenate([src_o, src_d], axis=-1),
-             jnp.concatenate([jnp.full((1, 3), 1e30, dtype),
-                              jnp.ones((1, 3), dtype)], axis=-1)])
-        cur = pad[idx]
-        cur_o = cur[:, :3]
-        cur_d = cur[:, 3:6]
+        if compact_pallas.enabled(dtype):
+            # monotone Pallas compaction: nonzero's scatter-add index
+            # build + the packed-row gather were ~58 ms/frame of the
+            # flagship program; the kernel streams the same result at
+            # bandwidth (ops/compact_pallas.py)
+            entry["pos"] = None
+            rows = compact_pallas.compact_rows(
+                jnp.concatenate([src_o, src_d], axis=-1), act, B,
+                (1e30, 1e30, 1e30, 1.0, 1.0, 1.0))
+            cur_o = rows[:, :3]
+            cur_d = rows[:, 3:6]
+        else:
+            (idx,) = jnp.nonzero(act, size=B, fill_value=src_o.shape[0])
+            # child-slot -> bucket position (shares the cumsum inside
+            # nonzero): the upward combine GATHERS child results through
+            # this instead of scatter-adding through idx — TPU scatters
+            # serialize, gathers don't
+            entry["pos"] = jnp.cumsum(act.astype(jnp.int32)) - 1
+            # ONE packed-row gather for both ray components:
+            # random/compacted gathers cost per ROW regardless of width
+            # up to 128 floats
+            pad = jnp.concatenate(
+                [jnp.concatenate([src_o, src_d], axis=-1),
+                 jnp.concatenate([jnp.full((1, 3), 1e30, dtype),
+                                  jnp.ones((1, 3), dtype)], axis=-1)])
+            cur = pad[idx]
+            cur_o = cur[:, :3]
+            cur_d = cur[:, 3:6]
         if ir.meta.use_clusters:
             # sequence wavefront levels on clustered scenes (see
             # shade_direct): level L's fold temps must be dead before
@@ -816,17 +829,19 @@ def trace_bucketed(ir: SceneIR, rt: RenderStatics, orig, dirs, depth: int,
         n = e["n"]
         refl_raw = refr_raw = None
         if child_total is not None:
-            # gather each child slot's result from its bucket position
-            # (inverse of the downward nonzero compaction); dead slots
-            # (act=False) contribute zero. One packed (B,9) row gather
-            # instead of three (B,3) gathers — same row count, third
-            # the staging traffic.
+            # route each child slot's result back from its bucket position
+            # (inverse of the downward compaction); dead slots (act=False)
+            # contribute zero. Pallas path: the monotone expand kernel;
+            # fallback: one packed (B,9) row gather.
             B = e["bucket"]
-            posc = jnp.clip(e["pos"], 0, B - 1)
-            actm = e["act"][:, None]
             packed_child = jnp.concatenate(
                 [child_total.a, child_total.d, child_total.s], axis=-1)
-            g = jnp.where(actm, packed_child[posc], 0.0)
+            if e["pos"] is None:
+                g = compact_pallas.expand_rows(packed_child, e["act"])
+            else:
+                posc = jnp.clip(e["pos"], 0, B - 1)
+                actm = e["act"][:, None]
+                g = jnp.where(actm, packed_child[posc], 0.0)
             ga, gd, gs = g[:, :3], g[:, 3:6], g[:, 6:9]
             off = 0
             if want_refl:
