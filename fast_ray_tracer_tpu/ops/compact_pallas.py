@@ -38,6 +38,7 @@ Gate: FRT_COMPACT_PALLAS = auto (default: on for the TPU backend, f32) |
 0 (off) | 1 / interpret (interpreter mode off-TPU — CPU parity tests).
 """
 
+import contextlib
 import functools
 import os
 
@@ -50,8 +51,27 @@ TB = 1024                 # lanes per grid step (8 sublane rows x 128)
 _ROWS = TB // 128
 _NFLUSH = 4               # output-DMA ring depth (compact kernel)
 
+_mode_override = None     # set via override_mode(); beats env + backend
+
+
+@contextlib.contextmanager
+def override_mode(mode):
+    """Force the kernel mode for code traced inside the context: "off"
+    disables, "interpret"/"tpu" force that lowering. Used by the sharded
+    render path when the mesh's devices are not the default backend (the
+    axon TPU plugin keeps default_backend()=="tpu" even for CPU meshes)."""
+    global _mode_override
+    prev = _mode_override
+    _mode_override = mode
+    try:
+        yield
+    finally:
+        _mode_override = prev
+
 
 def _mode():
+    if _mode_override is not None:
+        return None if _mode_override in ("off", "0") else _mode_override
     v = os.environ.get("FRT_COMPACT_PALLAS", "auto")
     if v == "0":
         return None

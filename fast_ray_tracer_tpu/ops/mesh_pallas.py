@@ -34,6 +34,7 @@ Gate: FRT_MESH_PALLAS = auto (default, on for the TPU backend) | 0 (off)
 CPU parity tests).
 """
 
+import contextlib
 import functools
 import os
 
@@ -44,6 +45,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import EPSILON
+
+_mode_override = None     # set via override_mode(); beats env + backend
+
+
+@contextlib.contextmanager
+def override_mode(mode):
+    """Force the kernel mode for code traced inside the context: "off"
+    disables, "interpret"/"tpu" force that lowering. Used by the sharded
+    render path when the mesh's devices are not the default backend (the
+    axon TPU plugin keeps default_backend()=="tpu" even for CPU meshes)."""
+    global _mode_override
+    prev = _mode_override
+    _mode_override = mode
+    try:
+        yield
+    finally:
+        _mode_override = prev
 
 SC = 128                 # triangles per supercluster (2 clusters of 64)
 BLOCK_RAYS = 32          # rays per kernel grid step
@@ -62,6 +80,8 @@ _STREAM_BUFS = 8         # DMA ring depth for the streaming kernel
 
 
 def _mode():
+    if _mode_override is not None:
+        return None if _mode_override in ("off", "0") else _mode_override
     v = os.environ.get("FRT_MESH_PALLAS", "auto")
     if v == "0":
         return None

@@ -364,11 +364,44 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
         stays shard-local — no cross-device data movement until the final
         gather). Stochastic chunks fold the device index into the key so
         shards draw disjoint random streams."""
+        import contextlib
+        import os
         try:
-            from jax import shard_map
+            from jax import shard_map as _sm
         except ImportError:          # older jax
-            from jax.experimental.shard_map import shard_map
+            from jax.experimental.shard_map import shard_map as _sm
         from jax.sharding import PartitionSpec as P
+
+        def shard_map(f, **kw):
+            # pallas_call inside shard_map cannot declare its outputs'
+            # varying-across-mesh axes (ShapeDtypeStruct has no vma), so
+            # the vma/replication check must be off for the bodies that
+            # run the compaction/mesh kernels
+            try:
+                return _sm(f, check_vma=False, **kw)
+            except TypeError:        # pre-0.9 jax: check_rep
+                return _sm(f, check_rep=False, **kw)
+
+        mesh_platform = mesh.devices.flat[0].platform
+
+        def _kmode(env_var):
+            # _mode() keyed off default_backend() mislowers when the
+            # mesh's devices differ from the default backend (the axon
+            # TPU plugin keeps default_backend()=="tpu" for a CPU mesh):
+            # resolve the kernel mode from the MESH's platform instead
+            v = os.environ.get(env_var, "auto")
+            if v == "0":
+                return "off"
+            if mesh_platform == "tpu":
+                return "tpu"
+            return "interpret" if v in ("1", "interpret") else "off"
+
+        @contextlib.contextmanager
+        def mesh_kernel_modes():
+            from ..ops import compact_pallas as _cp, mesh_pallas as _mp
+            with _cp.override_mode(_kmode("FRT_COMPACT_PALLAS")), \
+                 _mp.override_mode(_kmode("FRT_MESH_PALLAS")):
+                yield
         from fast_ray_tracer_tpu.render.integrator import (
             spawn_counts, trace_bucketed,
         )
@@ -424,8 +457,9 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
             # one calibration for the whole render (first chunk + 1.35
             # margin), like the single-device path
             if "buckets" not in sharded_fns:
-                counts = np.asarray(
-                    sharded_fns["probe"](ir_in, px_g, py_g, chunk_key))
+                with mesh_kernel_modes():
+                    counts = np.asarray(
+                        sharded_fns["probe"](ir_in, px_g, py_g, chunk_key))
                 sharded_fns["buckets"] = tuple(
                     max(256, int(math.ceil(c * 1.35 / 1024)) * 1024)
                     for c in counts)
@@ -448,7 +482,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                 render_body, mesh=mesh,
                 in_specs=(ir_spec, P("batch"), P("batch"), P()),
                 out_specs=(P("batch"), P())))
-        res, ovf = sharded_fns[buckets](ir_in, px_g, py_g, chunk_key)
+        with mesh_kernel_modes():
+            res, ovf = sharded_fns[buckets](ir_in, px_g, py_g, chunk_key)
         if use_bucketed and bool(np.asarray(ovf)):
             print(f"bucket overflow (buckets={buckets}): sharded chunk "
                   "re-rendered on the exact unrolled path", flush=True)
@@ -460,7 +495,8 @@ def render_scene(scene: SceneDesc, dtype=jnp.float32,
                     exact_body, mesh=mesh,
                     in_specs=(ir_spec, P("batch"), P("batch"), P()),
                     out_specs=P("batch")))
-            res = sharded_fns["exact"](ir_in, px_g, py_g, chunk_key)
+            with mesh_kernel_modes():
+                res = sharded_fns["exact"](ir_in, px_g, py_g, chunk_key)
         return fetch(res)
 
     total = W * H

@@ -43,6 +43,8 @@ _PAT_KIND = {
     "nested": IR.PAT_NESTED, "perturbed": IR.PAT_PERTURBED,
     "map": IR.PAT_MAP, "uv_checker": IR.PAT_UV_CHECKER,
     "uv_align_check": IR.PAT_UV_ALIGN_CHECK, "uv_image": IR.PAT_UV_TEXTURE,
+    "uv_gradient": IR.PAT_UV_GRADIENT,
+    "uv_radial_gradient": IR.PAT_UV_RADIAL_GRADIENT,
 }
 
 _MAP_KIND = {
@@ -179,7 +181,8 @@ class _Tables:
             "tex": -1,
         }
         if p.kind in ("checker", "gradient", "radial_gradient", "ring",
-                      "stripe", "uv_checker", "uv_align_check"):
+                      "stripe", "uv_checker", "uv_align_check",
+                      "uv_gradient", "uv_radial_gradient"):
             cs = np.asarray(self.decode(np.asarray(p.colors, dtype=np.float64)))
             row["colors"][: len(p.colors)] = cs
             if p.kind == "uv_checker":

@@ -135,6 +135,14 @@ def _uv_pattern(obj: dict, slot: str) -> PatternDesc:
         # sRGB-decode only for Ka/Kd slots (yaml_parser/pattern.py:264-266)
         return PatternDesc(kind="uv_image", file=obj["file"],
                            decode_to_linear=slot in ("Ka", "Kd"))
+    if typ in ("gradient", "radial-gradient", "radial_gradient"):
+        # C-library uv patterns (pattern.c:269-283) that the reference's own
+        # YAML frontend never exposed; we surface them so the full C pattern
+        # surface is reachable.
+        kind = "uv_gradient" if typ == "gradient" else "uv_radial_gradient"
+        return PatternDesc(kind=kind,
+                           colors=[tuple(obj["colors"][0]),
+                                   tuple(obj["colors"][1])])
     raise ValueError(f"Unable to parse uv pattern type: {typ}")
 
 
