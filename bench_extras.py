@@ -169,22 +169,40 @@ def fwd_bwd_cornell(timer):
         jnp.asarray(cmj_points_static(1, 1), dtype), (CH, 2))
     ap = jnp.zeros((CH, 2), dtype)
 
+    # differentiate through the compacted static-bucket wavefront, not
+    # the 2^depth unrolled remat graph: the unrolled Cornell backward
+    # lowers to a 22 MB MLIR program that crashes the TPU compile
+    # helper (SIGILL) — the same structural fix that took the glass
+    # fwd+bwd from 592 ms / 12 GB to 108 ms / 1.2 GB
+    from fast_ray_tracer_tpu.render.camera import rays_for_pixels
+    from fast_ray_tracer_tpu.render.integrator import spawn_counts
+    import math as _math
+
+    key = jax.random.PRNGKey(11)
+    n_chunks = total // CH
+
+    @jax.jit
+    def _probe(px_, py_, ck):
+        o, d = rays_for_pixels(cam_rt, px_, py_, uv, ap)
+        return spawn_counts(ir, rt, o, d, pl, ck)
+
     @jax.jit
     def chunk_grad(p, px, py, ck):
         def loss(p_):
             ir2 = merge_params(p_, static)
             img = pixel_colors(ir2, rt, cam_rt, px, py, uv, ap, 1, pl,
-                               ck, remat=True)
+                               ck, remat="level", buckets=buckets)
             return jnp.sum((img - 0.5) ** 2)
         return jax.value_and_grad(loss)(p)
-
-    key = jax.random.PRNGKey(11)
-    n_chunks = total // CH
 
     def args_for(c):
         return (jnp.asarray(xs[c * CH:(c + 1) * CH]),
                 jnp.asarray(ys[c * CH:(c + 1) * CH]),
                 jax.random.fold_in(key, c))
+
+    counts = [int(x) for x in _probe(*args_for(0))]
+    buckets = [max(256, int(_math.ceil(c * 1.35 / 256)) * 256)
+               for c in counts]
 
     with timer.phase("cornell_fwd_bwd_compile"):
         out0 = chunk_grad(params, *args_for(0))
